@@ -1,0 +1,164 @@
+"""Analyzer chains — pure functions over ``pd.Series``.
+
+Re-implements the analysis section of the reference's index mapping
+(elastic/index.go:12-86) as vectorized pandas transforms, consumed by Arrow
+pandas UDFs (functions/udfs.py).  Chains:
+
+- default analyzer  = standard tokenizer + lowercase + light_english stemmer
+  (elastic/index.go:29-36).  The standard tokenizer is approximated with the
+  Unicode word pattern ``[^\\W_]+`` (UAX#29 word segmentation keeps
+  letter/digit runs; underscore is punctuation).  The stemmer implements the
+  published Lucene EnglishMinimalStemmer algorithm (plural stripping) —
+  exact KStem parity would need the KStem lexicon, out of scope.
+- simple analyzer   = lowercase + ``[a-z0-9]+`` runs.  Chosen as the
+  engine's *oracle* analyzer: it is exactly expressible in both Spark SQL
+  (`split(lower(text),'[^a-z0-9]+')`) and DuckDB
+  (`string_split_regex(lower(text),'[^a-z0-9]+')`), so index+query results
+  are independently verifiable end-to-end.
+- code analyzer     = whitespace tokenizer + word_delimiter_graph
+  (preserve_original) + flatten + lowercase + asciifolding + edge_ngram 2-40
+  (elastic/index.go:45-55,18-27).
+- path analyzer     = reversed path_hierarchy + lowercase + asciifolding
+  (elastic/index.go:37-44,73-76).
+- ngram analyzer    = 2-3 letter/digit ngram tokenizer + lowercase
+  (elastic/index.go:56-72).
+- sha normalizer    = lowercase keyword normalizer (elastic/index.go:78-85).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable, Iterable
+
+import pandas as pd
+
+# [^\W_]+ == unicode letters+digits, excluding underscore (UAX#29-ish)
+_STANDARD_RE = re.compile(r"[^\W_]+", re.UNICODE)
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+_WS_RE = re.compile(r"\S+")
+# word_delimiter_graph: split points inside a whitespace token
+_WDG_SPLIT_RE = re.compile(
+    r"[^0-9A-Za-z]+"            # non-alphanumeric runs
+    r"|(?<=[a-z])(?=[A-Z])"     # fooBar -> foo|Bar
+    r"|(?<=[A-Za-z])(?=[0-9])"  # foo2   -> foo|2
+    r"|(?<=[0-9])(?=[A-Za-z])"  # 2foo   -> 2|foo
+)
+
+
+# ---------------------------------------------------------------------------
+# Token filters
+# ---------------------------------------------------------------------------
+def light_english_stem(token: str) -> str:
+    """Lucene EnglishMinimalStemmer (public algorithm): strip plural -s.
+
+    Keeps ``-ss``/``-us``, rewrites ``-ies`` -> ``-y`` (len>4, not -aies/-eies),
+    keeps ``-[iaoe]es``, else drops the final ``s``.
+    """
+    n = len(token)
+    if n < 3 or token[-1] != "s":
+        return token
+    c2 = token[-2]
+    if c2 in ("u", "s"):
+        return token
+    if c2 == "e":
+        if n > 3 and token[-3] == "i" and (n < 5 or token[-4] not in ("a", "e")):
+            return token[:-3] + "y"
+        if token[-3] in ("i", "a", "o", "e"):
+            return token
+    return token[:-1]
+
+
+def ascii_fold(token: str) -> str:
+    """Lucene asciifolding approximation: NFKD + strip combining marks."""
+    if token.isascii():
+        return token
+    return "".join(
+        c for c in unicodedata.normalize("NFKD", token) if not unicodedata.combining(c)
+    )
+
+
+def edge_ngrams(token: str, min_gram: int = 2, max_gram: int = 40) -> list[str]:
+    """edge_ngram filter 2-40 (elastic/index.go:23-27): prefixes per token."""
+    return [token[:i] for i in range(min_gram, min(max_gram, len(token)) + 1)]
+
+
+def char_ngrams(text: str, min_gram: int = 2, max_gram: int = 3) -> list[str]:
+    """ngram tokenizer 2-3 over letter/digit runs (elastic/index.go:64-72)."""
+    out: list[str] = []
+    for run in _STANDARD_RE.findall(text):
+        for n in range(min_gram, max_gram + 1):
+            out.extend(run[i : i + n] for i in range(len(run) - n + 1))
+    return out
+
+
+def word_delimiter_graph(token: str, preserve_original: bool = True) -> list[str]:
+    """word_delimiter_graph with preserve_original=true (elastic/index.go:18-22).
+
+    ``flatten_graph`` is implicit: we emit a flat token list (original first,
+    then sub-tokens in order), which is what the flattened graph indexes.
+    """
+    parts = [p for p in _WDG_SPLIT_RE.split(token) if p]
+    out: list[str] = []
+    if preserve_original and (len(parts) != 1 or parts[0] != token):
+        out.append(token)
+    out.extend(parts)
+    return out
+
+
+def path_hierarchy_reversed(path: str) -> list[str]:
+    """path_hierarchy tokenizer with reverse=true (elastic/index.go:73-76):
+    ``a/b/c`` -> [``a/b/c``, ``b/c``, ``c``]."""
+    parts = path.split("/")
+    return ["/".join(parts[i:]) for i in range(len(parts))]
+
+
+def sha_normalize(value: str) -> str:
+    """sha_normalizer: lowercase keyword normalizer (elastic/index.go:78-85)."""
+    return value.lower()
+
+
+# ---------------------------------------------------------------------------
+# Analyzer chains (str -> list[str])
+# ---------------------------------------------------------------------------
+def analyze_default(text: str) -> list[str]:
+    return [light_english_stem(t) for t in _STANDARD_RE.findall(text.lower())]
+
+
+def analyze_simple(text: str) -> list[str]:
+    return _SIMPLE_RE.findall(text.lower())
+
+
+def analyze_code(text: str) -> list[str]:
+    out: list[str] = []
+    for ws_tok in _WS_RE.findall(text):
+        for sub in word_delimiter_graph(ws_tok):
+            folded = ascii_fold(sub.lower())
+            if not folded:
+                continue
+            out.extend(edge_ngrams(folded))
+    return out
+
+
+def analyze_path(text: str) -> list[str]:
+    return [ascii_fold(t.lower()) for t in path_hierarchy_reversed(text)]
+
+
+def analyze_ngram(text: str) -> list[str]:
+    return char_ngrams(text.lower())
+
+
+ANALYZERS: dict[str, Callable[[str], list[str]]] = {
+    "default": analyze_default,
+    "simple": analyze_simple,
+    "code": analyze_code,
+    "path": analyze_path,
+    "ngram": analyze_ngram,
+}
+
+
+def tokenize_series(texts: pd.Series, analyzer: str = "default") -> pd.Series:
+    """Vectorized entry point used by the pandas UDFs: Series[str] ->
+    Series[list[str]].  NaN/None -> empty list."""
+    fn = ANALYZERS[analyzer]
+    return texts.fillna("").map(fn)

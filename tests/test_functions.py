@@ -1,0 +1,190 @@
+"""Unit goldens for the pure per-document functions (no Spark needed).
+
+Golden values are taken from the reference's own tests (cited per case) so a
+user of the reference sees identical per-document behavior.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gitlab_elasticsearch_indexer_spark.functions import analysis, codec, encoding, ids
+from gitlab_elasticsearch_indexer_spark.functions.bm25 import idf, idf_np, tf_norm_np
+
+
+class TestIds:
+    def test_blob_id_plain(self):
+        # indexer/blob_test.go:88
+        assert ids.generate_blob_id(2147483648, "path") == "2147483648_path"
+
+    def test_blob_id_sha1_fallback(self):
+        # indexer/blob_test.go:90-92
+        large = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789" * 20
+        assert (
+            ids.generate_blob_id(12345678, large)
+            == "12345678_e0264f90b84a0fe08768dc5dcdf27efe60fe6633"
+        )
+
+    def test_commit_id(self):
+        # indexer/commit.go:32-34
+        assert ids.generate_commit_id(42, "deadbeef") == "42_deadbeef"
+
+    def test_date_format(self):
+        # indexer/person.go:10 — %Y%m%dT%H%M%S%z
+        from datetime import datetime, timedelta, timezone
+
+        t = datetime(2016, 9, 27, 14, 37, 46, tzinfo=timezone(timedelta(hours=-3)))
+        assert ids.generate_date(t) == "20160927T143746-0300"
+
+
+class TestEncoding:
+    def test_binary_detect_nul_in_window(self):
+        # indexer/blob.go:20,132-139
+        assert encoding.detect_binary(b"abc\x00def")
+        assert not encoding.detect_binary(b"plain text")
+
+    def test_binary_detect_nul_after_window(self):
+        # NUL only beyond 8 KiB sniff window -> text (FIXTURES.md row class 4)
+        data = b"a" * (8 * 1024) + b"\x00"
+        assert not encoding.detect_binary(data)
+
+    def test_empty(self):
+        assert encoding.try_encode_bytes(b"") == ""
+        assert encoding.try_encode_bytes(None) == ""
+
+    def test_utf8_passthrough(self):
+        assert encoding.try_encode_bytes("héllo wörld".encode()) == "héllo wörld"
+
+    def test_gb18030_golden(self):
+        # integration_test.go:277-284: GB18030 encoding/iso8859.txt -> "狞\n"
+        raw = "狞\n".encode("gb18030")
+        assert encoding.try_encode_bytes(raw) == "狞\n"
+
+    def test_shift_jis_golden(self):
+        # integration_test.go:268-295 SHIFT_JIS sample
+        # exact golden from integration_test.go:283
+        text = "これはテストです。\nこれもマージして下さい。\n\nAdd excel file.\nDelete excel file."
+        raw = text.encode("shift_jis")
+        assert encoding.try_encode_bytes(raw) == text
+
+
+class TestAnalyzers:
+    def test_simple(self):
+        assert analysis.analyze_simple("Hello, World-42!") == ["hello", "world", "42"]
+
+    def test_default_stems_plurals(self):
+        # FIXTURES.md: features -> feature (light_english)
+        assert analysis.analyze_default("Features tables") == ["feature", "table"]
+
+    def test_minimal_stemmer_rules(self):
+        # Lucene EnglishMinimalStemmer semantics
+        cases = {
+            "queries": "query",
+            "dogs": "dog",
+            "class": "class",   # -ss kept
+            "corpus": "corpus", # -us kept
+            "goes": "goes",     # -oes kept
+            "ties": "ty",       # -ies -> -y
+            "s": "s",
+            "as": "as",
+        }
+        for w, want in cases.items():
+            assert analysis.light_english_stem(w) == want, w
+
+    def test_standard_excludes_underscore(self):
+        assert analysis.analyze_simple("foo_bar") == ["foo", "bar"]
+        assert "foo_bar" not in analysis.analyze_default("foo_bar")
+
+    def test_path_hierarchy_reversed(self):
+        # elastic/index.go:73-76
+        assert analysis.path_hierarchy_reversed("a/b/c") == ["a/b/c", "b/c", "c"]
+
+    def test_edge_ngrams(self):
+        # elastic/index.go:23-27 (2..40)
+        assert analysis.edge_ngrams("fool") == ["fo", "foo", "fool"]
+        assert analysis.edge_ngrams("a") == []
+
+    def test_char_ngrams(self):
+        # elastic/index.go:64-72 (2..3, letter/digit)
+        assert analysis.char_ngrams("ab1") == ["ab", "b1", "ab1"]
+
+    def test_word_delimiter_graph(self):
+        # elastic/index.go:18-22 preserve_original
+        assert analysis.word_delimiter_graph("fooBar_baz-1") == [
+            "fooBar_baz-1",
+            "foo",
+            "Bar",
+            "baz",
+            "1",
+        ]
+        assert analysis.word_delimiter_graph("plain") == ["plain"]
+
+    def test_ascii_fold(self):
+        assert analysis.ascii_fold("Crème-Brûlée") == "Creme-Brulee"
+
+    def test_code_analyzer(self):
+        toks = analysis.analyze_code("fooBar")
+        assert "foobar" in toks  # preserve_original, folded+lowered
+        assert "fo" in toks and "foo" in toks  # edge ngrams
+        assert "ba" in toks and "bar" in toks
+
+    def test_tokenize_series(self):
+        s = pd.Series(["Hello world", None, ""])
+        out = analysis.tokenize_series(s, "simple")
+        assert out.tolist() == [["hello", "world"], [], []]
+
+
+class TestCodec:
+    def test_roundtrip_simple(self):
+        vals = np.array([0, 1, 127, 128, 300, 2**21, 2**40], dtype=np.uint64)
+        assert np.array_equal(codec.varint_decode(codec.varint_encode(vals)), vals)
+
+    def test_docids_roundtrip(self):
+        docids = np.array([3, 7, 8, 100, 5000, 131072], dtype=np.int64)
+        enc = codec.encode_docids(docids)
+        assert np.array_equal(codec.decode_docids(enc, count=len(docids)), docids)
+
+    def test_docids_unsorted_raises(self):
+        with pytest.raises(ValueError):
+            codec.encode_docids(np.array([5, 3], dtype=np.int64))
+
+    def test_positions_roundtrip(self):
+        lists = [np.array([1, 5, 9]), np.array([0]), np.array([], dtype=np.int64)]
+        enc = codec.encode_positions(lists)
+        dec = codec.decode_positions(enc, 3)
+        for a, b in zip(lists, dec):
+            assert np.array_equal(a, b)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**62), min_size=0, max_size=50)
+    )
+    def test_varint_roundtrip_property(self, xs):
+        vals = np.array(xs, dtype=np.uint64)
+        assert np.array_equal(codec.varint_decode(codec.varint_encode(vals)), vals)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=2**40), min_size=1, max_size=200, unique=True
+        )
+    )
+    def test_docid_delta_roundtrip_property(self, xs):
+        docids = np.array(sorted(xs), dtype=np.int64)
+        enc = codec.encode_docids(docids)
+        assert np.array_equal(codec.decode_docids(enc, count=len(docids)), docids)
+
+
+class TestBM25:
+    def test_idf_matches_formula(self):
+        import math
+
+        assert idf(1000, 10) == pytest.approx(math.log(1 + (1000 - 10 + 0.5) / 10.5))
+        assert np.allclose(idf_np(1000, np.array([10])), [idf(1000, 10)])
+
+    def test_tf_norm(self):
+        out = tf_norm_np(np.array([2]), np.array([100]), avgdl=100.0)
+        # tf/(tf + k1*(1-b+b*1)) = 2/(2+1.2)
+        assert out[0] == pytest.approx(2 / 3.2)
