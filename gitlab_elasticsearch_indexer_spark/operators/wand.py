@@ -1,0 +1,217 @@
+"""Block-max top-k retrieval (SURVEY.md Q5 — the WAND-style skipping Lucene
+performs, lifted onto Spark's execution model).
+
+Classic doc-at-a-time block-max WAND is a pointer-chasing loop — hostile to
+both Python and distributed execution.  The same safe-up-to-k skipping is
+achieved here at two granularities that ARE Spark-friendly:
+
+1. **Range-level skipping (distributed).**  Per docid_range, the driver knows
+   ``bound(range) = Σ_t idf_t · max_block(max_tfn)`` from segment *metadata
+   only* (a few bytes per block — no posting bytes read).  Ranges are
+   processed in descending-bound batches; after each batch the k-th best
+   score so far is the threshold θ, and every remaining range with
+   bound < θ is skipped without ever being scanned.  This is block-max
+   pruning at the unit of parallelism: batches fan out as one Spark job
+   over the pruned parquet partitions.
+
+2. **Block-level skipping (within a range, single-term queries).**  Blocks
+   sorted by idf·max_tfn descending; once k local hits exist and the next
+   block's bound is below the local k-th score, remaining blocks are not
+   decoded.  (Multi-term queries score the range's candidate blocks with one
+   vectorized numpy accumulation — exact, and still only the blocks of the
+   query's terms.)
+
+Safety: bounds are true upper bounds, so the result is rank-identical to the
+exhaustive scorer — asserted in tests/test_pipeline.py.
+
+Scoring joins doc lengths via ``cogroup(segments, docs).applyInPandas`` on
+docid_range — both sides are partitioned by the same key, and the optional
+metadata filter (Q7: lang / permission ints) is applied to the docs side
+*before* the cogroup so filtered docs never score.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BM25_B, BM25_K1, DOCS_PER_RANGE
+from ..functions import codec
+from .search import filter_segments_for_terms
+
+_META_COLS = [
+    "term",
+    "bucket",
+    "docid_range",
+    "block_idx",
+    "n_docs",
+    "first_docid",
+    "max_docid",
+    "max_tf",
+    "max_tfn",
+]
+
+
+def _make_range_scorer(idf_by_term: dict[str, float], avgdl: float, k: int):
+    k1, b = BM25_K1, BM25_B
+
+    def score_range(key, seg_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(seg_pdf) == 0 or len(docs_pdf) == 0:
+            return pd.DataFrame({"docid": [], "score": []}).astype(
+                {"docid": "int64", "score": "float64"}
+            )
+        base = int(key[0]) * DOCS_PER_RANGE
+        # doc-length lookup for this range (docs side already metadata-filtered)
+        dl_docids = docs_pdf["docid"].to_numpy(dtype=np.int64)
+        dl_vals = docs_pdf["dl"].to_numpy(dtype=np.int64)
+        dl_order = np.argsort(dl_docids)
+        dl_docids, dl_vals = dl_docids[dl_order], dl_vals[dl_order]
+
+        terms = seg_pdf["term"].to_numpy()
+        single_term = len(set(terms)) == 1
+        if single_term:
+            idf = idf_by_term[terms[0]]
+            blocks = seg_pdf.assign(bound=idf * seg_pdf["max_tfn"]).sort_values(
+                "bound", ascending=False
+            )
+        else:
+            blocks = seg_pdf
+
+        all_docids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        heap: list[float] = []  # local top-k scores, single-term skipping only
+        for r in blocks.itertuples(index=False):
+            if single_term and len(heap) >= k and r.bound < heap[0]:
+                break  # block-max skip: no remaining block can enter top-k
+            docids = codec.decode_docids(r.docids_enc, base=base, count=r.n_docs)
+            tfs = codec.decode_tfs(r.tfs_enc, count=r.n_docs).astype(np.float64)
+            pos = np.searchsorted(dl_docids, docids)
+            valid = (pos < len(dl_docids)) & (
+                dl_docids[np.clip(pos, 0, len(dl_docids) - 1)] == docids
+            )
+            if not valid.any():
+                continue
+            docids, tfs, pos = docids[valid], tfs[valid], pos[valid]
+            dl = dl_vals[pos].astype(np.float64)
+            idf = idf_by_term[r.term]
+            scores = idf * tfs / (tfs + k1 * (1.0 - b + b * dl / avgdl))
+            all_docids.append(docids)
+            all_scores.append(scores)
+            if single_term:
+                for s in scores:
+                    if len(heap) < k:
+                        heapq.heappush(heap, float(s))
+                    elif s > heap[0]:
+                        heapq.heapreplace(heap, float(s))
+
+        if not all_docids:
+            return pd.DataFrame({"docid": [], "score": []}).astype(
+                {"docid": "int64", "score": "float64"}
+            )
+        docids = np.concatenate(all_docids)
+        scores = np.concatenate(all_scores)
+        uniq, inv = np.unique(docids, return_inverse=True)
+        totals = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(totals, inv, scores)
+        if len(uniq) > k:
+            part = np.argpartition(-totals, k - 1)[:k]
+            # stable exact order: score desc, docid asc
+            order = part[np.lexsort((uniq[part], -totals[part]))]
+        else:
+            order = np.lexsort((uniq, -totals))
+        return pd.DataFrame({"docid": uniq[order], "score": totals[order]})
+
+    return score_range
+
+
+def search_blockmax(
+    spark,
+    segments: DataFrame,
+    term_stats: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int,
+    avgdl: float,
+    doc_filter: Column | None = None,
+    range_batch: int = 256,
+) -> DataFrame:
+    """→ (docid, score) top-k, rank-identical to search_exhaustive."""
+    if not query_terms:
+        return spark.createDataFrame([], "docid long, score double")
+
+    stats = {
+        r["term"]: float(r["idf"])
+        for r in term_stats.filter(F.col("term").isin(query_terms))
+        .select("term", "idf")
+        .collect()
+    }
+    live_terms = [t for t in query_terms if t in stats]
+    if not live_terms:
+        return spark.createDataFrame([], "docid long, score double")
+
+    seg = filter_segments_for_terms(segments, live_terms)
+
+    # ---- phase 1: metadata-only range bounds (no posting bytes touched) ----
+    meta = (
+        seg.select(*_META_COLS)
+        .groupBy("docid_range", "term")
+        .agg(F.max("max_tfn").alias("max_tfn"))
+        .collect()
+    )
+    bounds: dict[int, float] = {}
+    for r in meta:
+        bounds[r["docid_range"]] = bounds.get(r["docid_range"], 0.0) + stats[
+            r["term"]
+        ] * float(r["max_tfn"])
+    ordered_ranges = sorted(bounds, key=lambda rg: -bounds[rg])
+
+    doc_side = docs if doc_filter is None else docs.filter(doc_filter)
+    doc_side = doc_side.select(
+        "docid",
+        "dl",
+        (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long").alias("docid_range"),
+    )
+
+    scorer = _make_range_scorer(stats, avgdl, k)
+    heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of global top-k
+
+    def kth() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    i = 0
+    while i < len(ordered_ranges):
+        theta = kth()
+        batch = []
+        while i < len(ordered_ranges) and len(batch) < range_batch:
+            rg = ordered_ranges[i]
+            # strict <: a range whose bound equals θ could still contain a
+            # score-tied doc that wins the (score desc, docid asc) tie-break
+            if bounds[rg] < theta and len(heap) >= k:
+                i = len(ordered_ranges)  # every later range has a lower bound
+                break
+            batch.append(rg)
+            i += 1
+        if not batch:
+            break
+        part = (
+            seg.filter(F.col("docid_range").isin(batch))
+            .groupBy("docid_range")
+            .cogroup(doc_side.filter(F.col("docid_range").isin(batch)).groupBy("docid_range"))
+            .applyInPandas(scorer, schema="docid long, score double")
+            .collect()
+        )
+        for row in part:
+            item = (row["score"], -row["docid"])
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+    out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return spark.createDataFrame(
+        [(int(-nd), float(s)) for s, nd in out], "docid long, score double"
+    ).select("docid", "score")

@@ -1,0 +1,96 @@
+"""Search API over a committed index snapshot (reference entry point 3,
+SURVEY.md §3.3 — the ES query contract, served natively).
+
+``Searcher`` loads the catalog once, keeps docs/term_stats DataFrames cached,
+and serves top-k queries through either scoring path:
+
+- ``mode="blockmax"`` (default): metadata-driven range/block skipping
+  (operators/wand.py) — the scale path.
+- ``mode="exhaustive"``: pure-DataFrame scorer (operators/search.py) — the
+  oracle-verifiable path; rank-identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.search import analyze_query, phrase_filter_docids, search_exhaustive
+from ..operators.wand import search_blockmax
+from ..sources import catalog as cat
+
+
+class Searcher:
+    def __init__(self, spark: SparkSession, index_dir: str, snapshot: str | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.catalog = cat.read_catalog(index_dir, snapshot)
+        snap = self.catalog.snapshot
+        self.segments = cat.read_table(spark, index_dir, "segments", snap)
+        self.term_stats = cat.read_table(spark, index_dir, "term_stats", snap).cache()
+        self.docs = cat.read_table(spark, index_dir, "docs", snap).cache()
+
+    def query_terms(self, query: str) -> list[str]:
+        return analyze_query(query, self.catalog.analyzer)
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "blockmax",
+        doc_filter: Column | None = None,
+        with_docs: bool = True,
+    ) -> DataFrame:
+        terms = self.query_terms(query)
+        if mode == "exhaustive":
+            hits = search_exhaustive(
+                self.segments,
+                self.term_stats,
+                self.docs,
+                terms,
+                k,
+                self.catalog.avgdl,
+                doc_filter,
+            )
+        else:
+            hits = search_blockmax(
+                self.spark,
+                self.segments,
+                self.term_stats,
+                self.docs,
+                terms,
+                k,
+                self.catalog.avgdl,
+                doc_filter,
+            )
+        if not with_docs:
+            return hits
+        return (
+            hits.join(self.docs.select("docid", "url", "lang"), "docid", "left")
+            .orderBy(F.desc("score"), F.asc("docid"))
+        )
+
+    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
+        """Positions-based phrase query (requires with_positions index)."""
+        if not self.catalog.with_positions:
+            raise ValueError("index was built without positions")
+        terms = self.query_terms(phrase)
+        docids = phrase_filter_docids(self.segments, terms)
+        scored = search_exhaustive(
+            self.segments,
+            self.term_stats,
+            self.docs,
+            terms,
+            k=2**31 - 1,
+            avgdl=self.catalog.avgdl,
+        )
+        return (
+            scored.join(docids, "docid")
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
+    def lookup(self, doc_id: str) -> DataFrame:
+        """Point GET by document id (reference test-only read path,
+        elastic/client.go:231-246) — K8."""
+        return self.docs.filter(F.col("id") == doc_id)

@@ -10,8 +10,29 @@ comparable with the DuckDB oracle (naive-UTC timestamps).
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of launch mode —
+    the programmatic equivalent of ``spark-submit --py-files engine.zip``.
+
+    Local pytest runs work by cwd accident; a user importing the library from
+    anywhere else (or a real cluster) needs the package shipped.  Zip once
+    per session and addPyFile it.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"ges_pkg_{os.path.basename(pkg_dir)}"
+    )
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                            os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def get_spark(
@@ -45,4 +66,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark

@@ -1,0 +1,104 @@
+"""Pages-table synthesis + readers.
+
+The engine's primary input is an Iceberg table of Common-Crawl-style pages
+``(url, warc_ts, html, text, lang)`` (BASELINE.json input_hint).  No external
+data exists in this sandbox, so the table is synthesized *deterministically*
+from the driver-generated ``documents`` parquet (seed fixed by the driver):
+every value is a pure function of ``doc_id``, so the same bytes appear at
+every parallelism level — a precondition for rank-identity across cluster
+sizes (SURVEY.md §7 hard part #5).
+
+The base derivation is expressible identically in Spark and ANSI SQL (used
+verbatim by the DuckDB oracle); the special row classes from FIXTURES.md §1
+(binary, non-UTF-8, too-large, long-url, empty) are appended Python-side for
+the pytest golden suite.
+
+Reference analog: the change-stream source git/gitaly.go:158-219; a full
+build is a scan, an incremental build is a snapshot diff (see
+plans/incremental.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import PAGES
+
+# SQL fragment shared verbatim with the DuckDB oracle (tests + oracle_sql()):
+# synthesizes the base pages rows from the documents table.
+PAGES_FROM_DOCUMENTS_SQL = """
+SELECT
+  'https://example.com/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+  TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND AS warc_ts,
+  encode(text) AS html,
+  text,
+  lang,
+  doc_id
+FROM documents
+"""
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base pages table derived from documents.parquet (plus doc_id passthrough
+    used as the deterministic docid)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(
+            F.lit("https://example.com/"),
+            F.col("source"),
+            F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
+def special_pages(spark: SparkSession, base_docid: int = 10_000_000) -> DataFrame:
+    """FIXTURES.md §1 special row classes, deterministic, for golden tests.
+
+    docids start at ``base_docid`` so they never collide with document rows.
+    """
+    rows = [
+        # (suffix, html bytes, golden text, lang)
+        ("binary-nul.bin", b"\x89PNG\x00" + b"x" * 100, "", "Text"),
+        ("nul-after-8k.txt", b"a " * 5000 + b"\x00", ("a " * 5000 + "\x00"), "en"),
+        ("gb18030.txt", "狞\n".encode("gb18030"), "狞\n", "zh"),
+        (
+            "shift-jis.txt",
+            "これはテストです。\nこれもマージして下さい。\n\nAdd excel file.\nDelete excel file.".encode(
+                "shift_jis"
+            ),
+            "これはテストです。\nこれもマージして下さい。\n\nAdd excel file.\nDelete excel file.",
+            "ja",
+        ),
+        ("too-large.txt", b"big page content " * 70000, "", "en"),  # >1MiB
+        ("long-" + "u" * 600 + ".txt", b"long url page", "long url page", "en"),
+        ("empty.txt", b"", "", "en"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://example.com/special/{s}" for s, _, _, _ in rows],
+            "warc_ts": pd.Timestamp("2024-06-01 00:00:00"),
+            "html": [h for _, h, _, _ in rows],
+            "text": [t for _, _, t, _ in rows],
+            "lang": [l for _, _, _, l in rows],
+            "doc_id": [base_docid + i for i in range(len(rows))],
+        }
+    )
+    # fresh StructType — StructType.add mutates in place
+    schema = T.StructType(list(PAGES.fields) + [T.StructField("doc_id", T.LongType(), False)])
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def pages_with_specials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_from_documents(spark, sf_dir).unionByName(special_pages(spark))

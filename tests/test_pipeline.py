@@ -1,0 +1,203 @@
+"""End-to-end pipeline tests: build the index over sf0.001 pages, verify
+extraction parity, storage round-trip, and BM25 rank-identity against the
+independent pandas oracle (FIXTURES.md §5); block-max path must equal the
+exhaustive path exactly.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gitlab_elasticsearch_indexer_spark.operators.docs import build_docs
+from gitlab_elasticsearch_indexer_spark.operators.postings import decode_segments
+from gitlab_elasticsearch_indexer_spark.operators.tokenize import tokenize
+from gitlab_elasticsearch_indexer_spark.plans.build_index import build_index
+from gitlab_elasticsearch_indexer_spark.plans.search import Searcher
+from gitlab_elasticsearch_indexer_spark.sources import catalog as cat
+from gitlab_elasticsearch_indexer_spark.sources.pages import (
+    pages_from_documents,
+    pages_with_specials,
+)
+
+from conftest import SF_SMALL
+from oracle_bm25 import bm25_topk, simple_tokens
+
+QUERIES = [
+    ("spark data query", 10),
+    ("table", 10),          # head term
+    ("merge batch window", 25),
+    ("customer", 100),
+    ("zzz-not-in-corpus", 10),
+    ("the a value", 5),
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    pages = pages_with_specials(spark, SF_SMALL)
+    build_index(spark, pages, d, analyzer="simple", snapshot="s1")
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_docs(spark):
+    pdf = (
+        pages_from_documents(spark, SF_SMALL)
+        .select(F.col("doc_id").alias("docid"), F.col("text").alias("content"))
+        .toPandas()
+    )
+    return pdf
+
+
+class TestExtractionParity:
+    def test_content_matches_golden_text(self, spark, index_dir):
+        """Per-url byte-identical extracted text (north-rule invariant)."""
+        docs = cat.read_table(spark, index_dir, "docs")
+        pages = pages_with_specials(spark, SF_SMALL).select(
+            F.col("doc_id").alias("docid"),
+            F.col("text").alias("golden"),
+            F.octet_length("html").alias("html_len"),
+        )
+        joined = docs.join(pages, "docid").toPandas()
+        for r in joined.itertuples(index=False):
+            if r.is_binary or r.too_large:
+                assert r.content == "", r.url
+            else:
+                assert r.content == r.golden, r.url
+
+    def test_special_rows_flags(self, spark, index_dir):
+        docs = cat.read_table(spark, index_dir, "docs")
+        flags = {
+            r["url"].split("/")[-1]: (r["is_binary"], r["too_large"], r["content"])
+            for r in docs.filter(F.col("url").contains("/special/")).collect()
+        }
+        assert flags["binary-nul.bin"][0] is True
+        assert flags["too-large.txt"][1] is True
+        assert flags["gb18030.txt"][2] == "狞\n"
+        assert flags["empty.txt"][2] == ""
+        # NUL beyond the 8KiB window -> treated as text
+        assert flags["nul-after-8k.txt"][0] is False
+
+    def test_long_url_id_hashed(self, spark, index_dir):
+        docs = cat.read_table(spark, index_dir, "docs")
+        row = docs.filter(F.col("url").contains("/special/long-")).collect()[0]
+        assert len(row["id"]) <= 513  # "1_" + 40-hex sha1
+        assert row["id"].startswith("1_")
+        import hashlib
+
+        assert row["id"] == "1_" + hashlib.sha1(row["url"].encode()).hexdigest()
+
+
+class TestStorageRoundTrip:
+    def test_segments_decode_equals_tokenize(self, spark, index_dir):
+        """Decoding every posting block reproduces the exact (term,docid,tf)
+        set produced by tokenization (FIXTURES.md §6)."""
+        segments = cat.read_table(spark, index_dir, "segments")
+        decoded = decode_segments(segments).toPandas()
+        docs = cat.read_table(spark, index_dir, "docs")
+        expected = (
+            tokenize(docs, analyzer="simple")
+            .select("term", "docid", "tf")
+            .toPandas()
+        )
+        key = ["term", "docid"]
+        decoded = decoded.sort_values(key).reset_index(drop=True)
+        expected = expected.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            decoded[["term", "docid", "tf"]], expected[["term", "docid", "tf"]]
+        )
+
+    def test_term_stats_exact(self, spark, index_dir, oracle_docs):
+        stats = cat.read_table(spark, index_dir, "term_stats").toPandas()
+        from collections import Counter
+
+        full = pd.concat([oracle_docs, _specials_pdf(spark)], ignore_index=True)
+        df_oracle: Counter = Counter()
+        for content in full["content"]:
+            df_oracle.update(set(simple_tokens(content)))
+        got = dict(zip(stats["term"], stats["df"]))
+        assert got == dict(df_oracle)
+
+
+class TestRankIdentity:
+    @pytest.mark.parametrize("query,k", QUERIES)
+    def test_exhaustive_matches_pandas_oracle(
+        self, spark, index_dir, oracle_docs, query, k
+    ):
+        s = Searcher(spark, index_dir)
+        got = (
+            s.search(query, k=k, mode="exhaustive", with_docs=False)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        # oracle corpus: real documents only; specials add docs (binary/empty
+        # have no tokens; gb/sjis/nul-after-8k do) -> include them
+        full = pd.concat(
+            [
+                oracle_docs,
+                _specials_pdf(spark),
+            ],
+            ignore_index=True,
+        )
+        want = bm25_topk(full, query, k)
+        assert got["docid"].tolist() == want["docid"].tolist(), query
+        assert got["score"].tolist() == pytest.approx(
+            want["score"].tolist(), rel=1e-9
+        ), query
+
+    @pytest.mark.parametrize("query,k", QUERIES)
+    def test_blockmax_rank_identical_to_exhaustive(self, spark, index_dir, query, k):
+        s = Searcher(spark, index_dir)
+        ex = s.search(query, k=k, mode="exhaustive", with_docs=False).toPandas()
+        bm = s.search(query, k=k, mode="blockmax", with_docs=False).toPandas()
+        assert bm["docid"].tolist() == ex["docid"].tolist(), query
+        assert bm["score"].tolist() == pytest.approx(ex["score"].tolist(), rel=1e-12)
+
+    def test_metadata_filter(self, spark, index_dir):
+        """Q7 permission-style filter: lang='en' only, both paths agree."""
+        s = Searcher(spark, index_dir)
+        flt = F.col("lang") == "en"
+        ex = s.search("table value", k=20, mode="exhaustive", doc_filter=flt).toPandas()
+        bm = s.search("table value", k=20, mode="blockmax", doc_filter=flt).toPandas()
+        assert ex["docid"].tolist() == bm["docid"].tolist()
+        assert set(ex["lang"]) <= {"en"}
+
+    def test_point_lookup(self, spark, index_dir):
+        s = Searcher(spark, index_dir)
+        url = "https://example.com/src0/doc0.html"
+        row = s.lookup(f"1_{url}").collect()
+        assert len(row) == 1 and row[0]["url"] == url
+
+
+def _specials_pdf(spark):
+    from gitlab_elasticsearch_indexer_spark.sources.pages import special_pages
+
+    sp = special_pages(spark).toPandas()
+    out = pd.DataFrame(
+        {
+            "docid": sp["doc_id"],
+            "content": [
+                ""
+                if ("\x00" in t[:8192] or len(h) > 1024 * 1024)
+                else t
+                for t, h in zip(sp["text"], sp["html"])
+            ],
+        }
+    )
+    return out
+
+
+class TestResume:
+    def test_resume_skips_done_ranges(self, spark, tmp_path):
+        d = str(tmp_path / "idx2")
+        pages = pages_from_documents(spark, SF_SMALL)
+        c1 = build_index(spark, pages, d, snapshot="s1")
+        # resume over the same input: all ranges done -> segments unchanged
+        c2 = build_index(spark, pages, d, snapshot="s1", resume=True)
+        seg = cat.read_table(spark, d, "segments")
+        decoded = decode_segments(seg).toPandas().sort_values(["term", "docid"])
+        assert c1.n_docs == c2.n_docs
+        assert not decoded.duplicated(subset=["term", "docid"]).any()
