@@ -78,6 +78,7 @@ def make_block_builder(avgdl: float, with_positions: bool = False):
                 "first_docid": int(d[0]),
                 "max_docid": int(d[-1]),
                 "max_tf": int(t.max()),
+                "min_dl": int(dls[start : start + BLOCK_SIZE].min()),
                 "max_tfn": float(tfn[start : start + BLOCK_SIZE].max()),
                 "docids_enc": codec.encode_docids(d, base=base),
                 "tfs_enc": codec.encode_tfs(t),

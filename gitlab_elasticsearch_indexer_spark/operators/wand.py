@@ -52,8 +52,17 @@ _META_COLS = [
     "first_docid",
     "max_docid",
     "max_tf",
-    "max_tfn",
+    "min_dl",
 ]
+
+
+def _block_bound_tfn(max_tf, min_dl, avgdl: float):
+    """Upper bound of tf/(tf+k1·(1−b+b·dl/avgdl)) over a block, from stored
+    (max_tf, min_dl) and the CURRENT avgdl — valid across incremental
+    snapshots (monotone ↑ in tf, ↓ in dl)."""
+    max_tf = np.asarray(max_tf, dtype=np.float64)
+    min_dl = np.asarray(min_dl, dtype=np.float64)
+    return max_tf / (max_tf + BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / avgdl))
 
 
 def _make_range_scorer(idf_by_term: dict[str, float], avgdl: float, k: int):
@@ -75,9 +84,10 @@ def _make_range_scorer(idf_by_term: dict[str, float], avgdl: float, k: int):
         single_term = len(set(terms)) == 1
         if single_term:
             idf = idf_by_term[terms[0]]
-            blocks = seg_pdf.assign(bound=idf * seg_pdf["max_tfn"]).sort_values(
-                "bound", ascending=False
+            bound = idf * _block_bound_tfn(
+                seg_pdf["max_tf"].to_numpy(), seg_pdf["min_dl"].to_numpy(), avgdl
             )
+            blocks = seg_pdf.assign(bound=bound).sort_values("bound", ascending=False)
         else:
             blocks = seg_pdf
 
@@ -156,17 +166,20 @@ def search_blockmax(
     seg = filter_segments_for_terms(segments, live_terms)
 
     # ---- phase 1: metadata-only range bounds (no posting bytes touched) ----
-    meta = (
-        seg.select(*_META_COLS)
-        .groupBy("docid_range", "term")
-        .agg(F.max("max_tfn").alias("max_tfn"))
-        .collect()
+    # per-block bounds from (max_tf, min_dl) + current avgdl, max'd per
+    # (range, term), summed per range
+    meta_pdf = (
+        seg.select("docid_range", "term", "max_tf", "min_dl").toPandas()
     )
     bounds: dict[int, float] = {}
-    for r in meta:
-        bounds[r["docid_range"]] = bounds.get(r["docid_range"], 0.0) + stats[
-            r["term"]
-        ] * float(r["max_tfn"])
+    if len(meta_pdf):
+        meta_pdf["bound"] = meta_pdf["term"].map(stats) * _block_bound_tfn(
+            meta_pdf["max_tf"].to_numpy(), meta_pdf["min_dl"].to_numpy(), avgdl
+        )
+        per_range = (
+            meta_pdf.groupby(["docid_range", "term"])["bound"].max().groupby("docid_range").sum()
+        )
+        bounds = {int(k): float(v) for k, v in per_range.items()}
     ordered_ranges = sorted(bounds, key=lambda rg: -bounds[rg])
 
     doc_side = docs if doc_filter is None else docs.filter(doc_filter)

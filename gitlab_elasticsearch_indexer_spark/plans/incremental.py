@@ -1,0 +1,129 @@
+"""Incremental index maintenance: apply a pages_delta to a committed snapshot
+(reference entry point 1 in incremental mode — FROM_SHA..TO_SHA snapshot
+diff, git/gitaly.go:158-219 op dispatch + elastic bulk upsert/delete,
+SURVEY.md F4/K1/K2/O1/O7).
+
+Semantics (mirroring git/gitaly.go:186-215):
+- DELETED          → remove the doc at ``old_url`` (or ``url``)
+- RENAMED          → remove ``old_url`` doc AND upsert the delta row's doc
+                     (both ops, like the reference's put+del pair)
+- ADDED/MODIFIED/
+  COPIED           → idempotent upsert by url (deterministic IDs make
+                     re-runs safe, O7)
+
+Spark shape: the delta is tiny relative to the corpus, so removals are a
+broadcast anti-join and upserts a unionByName — the DataFrame-level
+equivalent of Iceberg ``MERGE INTO docs USING delta ON docs.url = delta.url
+WHEN MATCHED [AND op='DELETED'] THEN DELETE / UPDATE WHEN NOT MATCHED THEN
+INSERT`` (which this becomes verbatim once an Iceberg catalog is attached).
+
+Segment maintenance is partition-local: only the docid_ranges containing
+touched docs are rebuilt; untouched ranges' block rows are carried over
+unchanged (their (max_tf, min_dl) block-max metadata is avgdl-independent,
+so bounds stay valid as collection stats shift).  Collection stats and
+term_stats are recomputed exactly — a cheap full agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DOCS_PER_RANGE
+from ..operators.docs import build_docs
+from ..operators.postings import build_segments, term_stats
+from ..operators.tokenize import tokenize
+from ..schemas import LINEAGE
+from ..sources import catalog as cat
+
+
+def apply_delta(
+    spark: SparkSession,
+    index_dir: str,
+    delta: DataFrame,
+    new_snapshot: str,
+    project_id: int = 1,
+) -> cat.Catalog:
+    """delta: PAGES_DELTA-shaped (+ doc_id for new/modified rows)."""
+    old = cat.read_catalog(index_dir)
+    docs_old = cat.read_table(spark, index_dir, "docs", old.snapshot)
+    seg_old = cat.read_table(spark, index_dir, "segments", old.snapshot)
+
+    removals = delta.filter(F.col("op").isin("DELETED", "RENAMED")).select(
+        F.coalesce(F.col("old_url"), F.col("url")).alias("url")
+    )
+    puts = delta.filter(F.col("op").isin("ADDED", "MODIFIED", "COPIED", "RENAMED"))
+
+    new_docs = build_docs(puts, project_id=project_id)
+    put_tokens = tokenize(new_docs, analyzer=old.analyzer)
+    put_lens = put_tokens.groupBy("docid").agg(F.first("dl").alias("dl"))
+    new_docs = (
+        new_docs.join(put_lens, "docid", "left")
+        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
+    )
+
+    # MERGE: delete + upsert (broadcast both small sides)
+    survivors = docs_old.join(
+        F.broadcast(removals), "url", "left_anti"
+    ).join(
+        F.broadcast(puts.select("url")), "url", "left_anti"  # replaced rows
+    )
+    docs_new = survivors.unionByName(new_docs.select(*survivors.columns)).cache()
+
+    stats_row = docs_new.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+
+    # Affected ranges: every docid that was removed, replaced, or added.
+    removed_docids = docs_old.join(
+        F.broadcast(removals.unionByName(puts.select("url"))), "url", "left_semi"
+    ).select("docid")
+    affected = (
+        removed_docids.unionByName(new_docs.select("docid"))
+        .select(((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).alias("r"))
+        .distinct()
+    )
+    affected_ranges = [r["r"] for r in affected.collect()]
+
+    # Rebuild only affected ranges from the NEW doc set; carry the rest over.
+    rebuild_tokens = tokenize(
+        docs_new.filter(
+            ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).isin(affected_ranges)
+        ),
+        analyzer=old.analyzer,
+    )
+    seg_keep = seg_old.filter(~F.col("docid_range").isin(affected_ranges))
+    seg_new = build_segments(rebuild_tokens, avgdl=avgdl)
+    segments = seg_keep.unionByName(seg_new)
+
+    # Full recompute of term stats (cheap exact agg over tokens of new docs).
+    all_tokens = tokenize(docs_new, analyzer=old.analyzer)
+
+    sd = cat.snapshot_dir(index_dir, new_snapshot)
+    docs_new.write.mode("overwrite").parquet(f"{sd}/docs")
+    term_stats(all_tokens, n_docs).write.mode("overwrite").parquet(f"{sd}/term_stats")
+    segments.write.mode("overwrite").partitionBy("bucket").parquet(f"{sd}/segments")
+
+    lineage = spark.createDataFrame(
+        [
+            (str(r), old.snapshot, new_snapshot, 0, 0, "done", 0)
+            for r in affected_ranges
+        ]
+        or [("-", old.snapshot, new_snapshot, 0, 0, "done", 0)],
+        LINEAGE,
+    )
+    lineage.write.mode("overwrite").parquet(f"{sd}/lineage")
+
+    catalog = cat.Catalog(
+        n_docs=n_docs,
+        avgdl=avgdl,
+        analyzer=old.analyzer,
+        block_size=old.block_size,
+        docs_per_range=old.docs_per_range,
+        n_term_buckets=old.n_term_buckets,
+        snapshot=new_snapshot,
+        with_positions=old.with_positions,
+    )
+    cat.write_catalog(index_dir, catalog)
+    cat.commit_snapshot(index_dir, new_snapshot)
+    docs_new.unpersist()
+    return catalog

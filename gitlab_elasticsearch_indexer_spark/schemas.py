@@ -84,7 +84,13 @@ SEGMENTS = T.StructType(
         T.StructField("first_docid", T.LongType(), False),
         T.StructField("max_docid", T.LongType(), False),   # skip pointer
         T.StructField("max_tf", T.IntegerType(), False),
-        T.StructField("max_tfn", T.DoubleType(), False),   # block-max bound / idf
+        T.StructField("min_dl", T.IntegerType(), False),
+        # Block-max bound is derived at query time as
+        # idf * tfn(max_tf, min_dl, current avgdl) — tfn is monotone ↑ in tf
+        # and ↓ in dl, so (max_tf, min_dl) gives a true upper bound that stays
+        # valid when incremental updates shift the collection's avgdl
+        # (stored max_tfn would go stale).
+        T.StructField("max_tfn", T.DoubleType(), False),   # build-time diagnostic
         T.StructField("docids_enc", T.BinaryType(), False),  # delta+varint
         T.StructField("tfs_enc", T.BinaryType(), False),     # varint
         T.StructField("positions_enc", T.BinaryType(), True),  # optional, per-field index_options
