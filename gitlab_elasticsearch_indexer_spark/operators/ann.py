@@ -1,0 +1,100 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine is the exact baseline (one pass, no shuffle beyond the
+final top-k); the LSH-bucketed variant is the scale path: candidates are
+restricted to the query's hyperplane-sign bucket, so a 10^12-row corpus
+only scans one bucket's partition (bucket is a join/partition key).
+
+All arithmetic is promoted to float64 BEFORE multiplication so the DuckDB
+oracle (same promotion) reproduces results bit-for-bit up to summation
+order; outputs are rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_SIGN_DIMS = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec_id: int, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k vs the stored vector ``query_vec_id`` (excluded
+    from results).  Query side is a broadcast single row; scan side is one
+    narrow pass — Catalyst keeps it shuffle-free until the final TakeOrdered."""
+    q = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    sim = F.round(cosine_col(F.col(vec_col), F.col("qvec")), 4).alias("cosine")
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col).cast("long").alias("vec_id"), sim)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sign_bucket(vec: Column, dims: int = LSH_SIGN_DIMS) -> Column:
+    """Random-hyperplane LSH simplified to axis-aligned planes: the sign
+    pattern of the first ``dims`` coordinates."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(dims)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    emb: DataFrame, query_vec_id: int, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's sign bucket.
+    At scale the table is written partitioned by bucket → partition-pruned
+    scan of ~n/2^dims rows."""
+    bucketed = emb.withColumn("bucket", sign_bucket(F.col(vec_col)))
+    q = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    sim = F.round(cosine_col(F.col(vec_col), F.col("qvec")), 4).alias("cosine")
+    return (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col).cast("long").alias("vec_id"), sim)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def label_centroids(
+    emb: DataFrame, dims: int, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF-style coarse quantizer training step: per-label centroids for the
+    first ``dims`` coordinates (posexplode + avg — partial aggregation
+    map-side, one shuffle on (label, dim))."""
+    return (
+        emb.select(
+            F.col(label_col).cast("int").alias("label"),
+            F.posexplode(F.slice(F.col(vec_col), 1, dims)).alias("dim0", "v"),
+        )
+        .select("label", (F.col("dim0") + 1).cast("int").alias("dim"), F.col("v").cast("double").alias("v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 4).alias("centroid"))
+    )

@@ -363,3 +363,722 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full build over sf0.001 pages + block-max BM25 top-10."""
     s = _searcher(spark, "/root/testdata/sf0.001")
     return s.search("spark data query", k=10, mode="blockmax")
+
+
+# ===========================================================================
+# Document pipeline entries (P-ops, F-ops)
+# ===========================================================================
+_URL_SQL = "'https://example.com/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '.html'"
+
+
+# --- doc_prep: P3 id-gen, P5 basename, P1 transcode parity (content md5) ---
+def _doc_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.docs import build_docs
+
+    docs = build_docs(pages_from_documents(spark, sf_dir))
+    return docs.select(
+        "docid",
+        "url",
+        "id",
+        "file_name",
+        F.md5(F.encode("content", "UTF-8")).alias("content_md5"),
+        "lang",
+    )
+
+
+register(
+    "doc_prep",
+    _doc_prep,
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       {_URL_SQL} AS url,
+       '1_' || {_URL_SQL} AS id,
+       'doc' || CAST(doc_id AS VARCHAR) || '.html' AS file_name,
+       md5(text) AS content_md5,
+       lang
+FROM documents
+""",
+)
+
+
+# --- doc_dates: P6 %Y%m%dT%H%M%S%z formatting --------------------------------
+def _doc_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.docs import build_docs
+
+    docs = build_docs(pages_from_documents(spark, sf_dir))
+    return docs.select("docid", "warc_ts_fmt")
+
+
+register(
+    "doc_dates",
+    _doc_dates,
+    """
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND,
+                '%Y%m%dT%H%M%S') || '+0000' AS warc_ts_fmt
+FROM documents
+""",
+)
+
+
+# --- incremental_merge: F4 op dispatch + K1/K2 merge semantics ---------------
+_incr_cache: dict[str, str] = {}
+
+
+def _synth_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_from_documents(spark, sf_dir)
+    m = F.col("doc_id") % 10
+    op = (
+        F.when(m == 0, "DELETED").when(m == 1, "MODIFIED").when(m == 2, "RENAMED")
+    )
+    return (
+        pages.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .withColumn(
+            "old_url",
+            F.when(F.col("op").isin("DELETED", "RENAMED"), F.col("url")),
+        )
+        .withColumn(
+            "url",
+            F.when(F.col("op") == "RENAMED", F.concat(F.col("url"), F.lit(".v2"))).otherwise(
+                F.col("url")
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("op") == "MODIFIED", F.concat(F.col("text"), F.lit(" updated updated"))
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("html", F.encode(F.col("text"), "UTF-8"))
+    )
+
+
+def _incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.incremental import apply_delta
+
+    key = os.path.abspath(sf_dir)
+    if key not in _incr_cache:
+        index_dir = os.path.join(
+            _CACHE_ROOT, "incr_" + key.strip("/").replace("/", "_")
+        )
+        try:
+            c = cat.read_catalog(index_dir)
+            assert c.snapshot == "s2"
+        except Exception:
+            pages = pages_from_documents(spark, sf_dir)
+            build_index(spark, pages, index_dir, analyzer="simple", snapshot="s1")
+            apply_delta(spark, index_dir, _synth_delta(spark, sf_dir), new_snapshot="s2")
+        _incr_cache[key] = index_dir
+    docs = cat.read_table(spark, _incr_cache[key], "docs")
+    return docs.select(
+        "docid", "url", F.md5(F.encode("content", "UTF-8")).alias("content_md5")
+    )
+
+
+register(
+    "incremental_merge",
+    _incremental_merge,
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       CASE WHEN doc_id % 10 = 2 THEN {_URL_SQL} || '.v2' ELSE {_URL_SQL} END AS url,
+       md5(CASE WHEN doc_id % 10 = 1 THEN text || ' updated updated' ELSE text END) AS content_md5
+FROM documents
+WHERE doc_id % 10 <> 0
+""",
+)
+
+
+# --- incremental search: the merged index still answers correctly ------------
+def _incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _incremental_merge(spark, sf_dir)  # ensure built
+    s = Searcher(spark, _incr_cache[os.path.abspath(sf_dir)])
+    hits = s.search("updated", k=60, mode="exhaustive", with_docs=False)
+    return (
+        hits.select("docid", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
+register(
+    "incremental_search",
+    _incremental_search,
+    f"""
+WITH merged AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN text || ' updated updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+),
+toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM merged
+  ) WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(c.dl, 0) AS INT) AS dl FROM merged d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) c USING (doc_id)
+),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM merged) AS BIGINT) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS docid,
+         sum( ln(1 + (consts.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / consts.avgdl)) ) AS raw
+  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN consts
+  WHERE tf.term = 'updated'
+  GROUP BY tf.doc_id
+)
+SELECT docid, round(raw, 4) AS score FROM scored
+ORDER BY round(raw, 4) DESC, docid ASC LIMIT 10
+""",
+)
+
+
+# ===========================================================================
+# Analyzer entries (A3, A4, A5)
+# ===========================================================================
+def _path_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import make_tokenizer_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.concat(
+            F.col("source"), F.lit("/doc"), F.col("doc_id").cast("string"), F.lit(".html")
+        ).alias("path"),
+    )
+    tok = make_tokenizer_udf("path")
+    return docs.select(
+        "docid", F.posexplode(tok(F.col("path"))).alias("pos", "token")
+    ).select("docid", F.col("pos").cast("int").alias("pos"), "token")
+
+
+register(
+    "path_tokens",
+    _path_tokens,
+    """
+WITH p AS (
+  SELECT doc_id, source || '/doc' || CAST(doc_id AS VARCHAR) || '.html' AS path FROM documents
+),
+s AS (SELECT doc_id, str_split(path, '/') AS parts, len(str_split(path, '/')) AS plen FROM p)
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       CAST(i - 1 AS INT) AS pos,
+       array_to_string(list_slice(parts, i, plen), '/') AS token
+FROM s, unnest(generate_series(1, plen)) AS t(i)
+""",
+)
+
+
+def _edge_ngram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srcs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("source").distinct()
+    grams = F.transform(
+        F.sequence(F.lit(2), F.length("source")),
+        lambda i: F.col("source").substr(F.lit(1), i),
+    )
+    return srcs.filter(F.length("source") >= 2).select(
+        "source", F.explode(grams).alias("gram")
+    )
+
+
+register(
+    "edge_ngram_tokens",
+    _edge_ngram_tokens,
+    """
+SELECT source,
+       unnest(list_transform(generate_series(2, length(source)), i -> substring(source, 1, i))) AS gram
+FROM (SELECT DISTINCT source FROM documents)
+WHERE length(source) >= 2
+""",
+)
+
+
+def _char_ngram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srcs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("source").distinct()
+    grams = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), F.lit(3)),
+            lambda n: F.transform(
+                F.sequence(F.lit(1), F.length("source") - n + 1),
+                lambda i: F.col("source").substr(i, n),
+            ),
+        )
+    )
+    return srcs.filter(F.length("source") >= 3).select(
+        "source", F.explode(grams).alias("gram")
+    )
+
+
+register(
+    "char_ngram_tokens",
+    _char_ngram_tokens,
+    """
+SELECT source,
+       unnest(flatten(list_transform([2, 3], n ->
+         list_transform(generate_series(1, length(source) - n + 1), i -> substring(source, i, n))
+       ))) AS gram
+FROM (SELECT DISTINCT source FROM documents)
+WHERE length(source) >= 3
+""",
+)
+
+
+# ===========================================================================
+# Dedup entries
+# ===========================================================================
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dups
+
+    return exact_dups(_documents(spark, sf_dir))
+
+
+register(
+    "dedup_exact",
+    _dedup_exact,
+    """
+SELECT CAST(doc_id AS BIGINT) AS docid, md5(text) AS text_md5,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_dupes
+FROM documents
+""",
+)
+
+_SHINGLE_SQL = """
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         ELSE [] END AS shingles
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+    FROM documents
+  )
+)
+"""
+
+_MINHASH_SQL = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}|' || x))) AS mh{s}"
+        for s in range(4)
+    )
+    + " FROM sh)"
+)
+
+
+def _dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures
+
+    return minhash_signatures(_documents(spark, sf_dir))
+
+
+register(
+    "dedup_minhash_sig",
+    _dedup_minhash_sig,
+    f"""
+WITH {_SHINGLE_SQL}, {_MINHASH_SQL}
+SELECT CAST(doc_id AS BIGINT) AS docid, mh0, mh1, mh2, mh3 FROM sig
+""",
+)
+
+
+def _dedup_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_band_buckets
+
+    return lsh_band_buckets(_documents(spark, sf_dir))
+
+
+register(
+    "dedup_lsh_bands",
+    _dedup_lsh_bands,
+    f"""
+WITH {_SHINGLE_SQL}, {_MINHASH_SQL}
+SELECT mh0 || '_' || mh1 AS band_key, CAST(count(*) AS BIGINT) AS n_docs
+FROM sig GROUP BY band_key
+""",
+)
+
+
+def _dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_documents(spark, sf_dir))
+
+
+register(
+    "dedup_jaccard_pairs",
+    _dedup_jaccard_pairs,
+    f"""
+WITH {_SHINGLE_SQL}, {_MINHASH_SQL},
+tsets AS (
+  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS ts
+  FROM documents
+),
+side AS (SELECT sig.doc_id, mh0, ts FROM sig JOIN tsets ON sig.doc_id = tsets.doc_id)
+SELECT CAST(a.doc_id AS BIGINT) AS a_docid, CAST(b.doc_id AS BIGINT) AS b_docid,
+       round(CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS DOUBLE)
+             / (len(a.ts) + len(b.ts) - len(list_filter(a.ts, x -> list_contains(b.ts, x)))), 4) AS jaccard
+FROM side a JOIN side b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+""",
+)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash
+
+    return simhash(_documents(spark, sf_dir))
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (('0x' || substring(md5(term), {j + 1}, 1))::INT & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(16)
+)
+_SIMHASH_SUM = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+)
+
+register(
+    "dedup_simhash",
+    _dedup_simhash,
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents
+  ) WHERE term <> ''
+),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM toks GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS docid, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM votes
+""",
+)
+
+
+# ===========================================================================
+# Similarity-search entries
+# ===========================================================================
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_COS_SQL = """
+round(
+  list_sum(list_transform(generate_series(1, len(e.embedding)),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))))
+, 4)
+"""
+
+
+def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import brute_force_topk
+
+    return brute_force_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=10)
+
+
+register(
+    "ann_brute_topk",
+    _ann_brute,
+    f"""
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id, {_COS_SQL} AS cosine
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+)
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import lsh_bucket_topk
+
+    return lsh_bucket_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=5)
+
+
+register(
+    "ann_lsh_topk",
+    _ann_lsh,
+    f"""
+WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id, {_COS_SQL} AS cosine
+FROM b e JOIN (SELECT embedding, bucket FROM b WHERE vec_id = 0) q ON e.bucket = q.bucket
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 5
+""",
+)
+
+
+def _ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import label_centroids
+
+    return label_centroids(_embeddings(spark, sf_dir), dims=8)
+
+
+register(
+    "ann_centroids",
+    _ann_centroids,
+    """
+SELECT CAST(label AS INT) AS label, CAST(i AS INT) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+FROM embeddings, unnest(generate_series(1, 8)) AS t(i)
+GROUP BY label, i
+""",
+)
+
+
+# ===========================================================================
+# Text-analysis entries
+# ===========================================================================
+def _text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import token_counts
+
+    return token_counts(_documents(spark, sf_dir))
+
+
+register(
+    "text_token_counts",
+    _text_token_counts,
+    r"""
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS alnum_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import quality_scores
+
+    return quality_scores(_documents(spark, sf_dir))
+
+
+register(
+    "text_quality",
+    _text_quality,
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         text
+  FROM documents
+),
+r AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, alpha_ratio,
+         CASE WHEN len(ts) > 0 THEN
+           CAST(len(list_filter(ts, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(ts)
+         ELSE 0.0 END AS stop_ratio
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS docid, n_tokens,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(0.5 * alpha_ratio + 0.5 * (1.0 - stop_ratio), 4) AS quality
+FROM r
+""",
+)
+
+
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import language_id
+
+    return language_id(_documents(spark, sf_dir))
+
+
+register(
+    "text_langid",
+    _text_langid,
+    """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(ts, x -> x IN ('the','a','is','and','value'))) AS BIGINT) AS s_en,
+         CAST(len(list_filter(ts, x -> x IN ('el','la','es','de','value'))) AS BIGINT) AS s_es,
+         CAST(len(list_filter(ts, x -> x IN ('der','die','das','und','wert'))) AS BIGINT) AS s_de
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS docid, s_en, s_es, s_de,
+       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+FROM s
+""",
+)
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import fingerprints
+
+    return fingerprints(_documents(spark, sf_dir))
+
+
+register(
+    "text_fingerprint",
+    _text_fingerprint,
+    """
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       CASE WHEN length(lower(text)) >= 8 THEN
+         (SELECT min(md5(substring(lt, i, 8)))
+          FROM unnest(generate_series(1, length(lt) - 7)) AS t(i))
+       ELSE NULL END AS fingerprint
+FROM (SELECT doc_id, lower(text) AS lt, text FROM documents)
+""",
+)
+
+
+# ===========================================================================
+# Events entries (windowed agg + sessionization — streaming-shaped batch)
+# ===========================================================================
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+register(
+    "events_windowed",
+    _events_windowed,
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+    )
+
+
+register(
+    "events_sessionize",
+    _events_sessionize,
+    """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+""",
+)
+
+
+# ===========================================================================
+# Parent-child rollup (Q6 denormalized join analog)
+# ===========================================================================
+def _parent_child_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    parents = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("tot_chars"),
+    )
+    return (
+        docs.join(F.broadcast(parents), "source")
+        .select(
+            F.col("doc_id").cast("long").alias("docid"),
+            "source",
+            "n_docs",
+            F.round(F.col("n_chars").cast("double") / F.col("tot_chars"), 6).alias("source_share"),
+        )
+    )
+
+
+register(
+    "parent_child_rollup",
+    _parent_child_rollup,
+    """
+SELECT CAST(doc_id AS BIGINT) AS docid, source,
+       CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+       round(CAST(n_chars AS DOUBLE) / sum(n_chars) OVER (PARTITION BY source), 6) AS source_share
+FROM documents
+""",
+)
+
+
+# ===========================================================================
+# Engine-only entries (no SQL oracle → driver runs rows-only checks)
+# ===========================================================================
+def _mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import media_metadata
+
+    pages = pages_from_documents(spark, sf_dir)
+    return media_metadata(pages, id_col="doc_id", bin_col="html")
+
+
+register("multimodal_metadata", _mm_metadata, None)
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    pages = pages_from_documents(spark, sf_dir).limit(50)
+    return extract_features(pages, id_col="doc_id", bin_col="html")
+
+
+register("multimodal_features", _mm_features, None)
+
+
+def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stream_index import run_windowed_batch_equivalent
+
+    return run_windowed_batch_equivalent(spark, f"{sf_dir}/events.parquet")
+
+
+register("stream_windowed", _stream_windowed, None)
+
+
+def _code_analyzer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """code_analyzer chain (A2+A5+A8+A9) over synthetic identifiers — the
+    word_delimiter_graph path has no tractable SQL twin; golden-tested in
+    tests/test_functions.py instead."""
+    from ..functions.udfs import make_tokenizer_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.concat(F.lit("getValue_"), F.col("source"), F.lit("Impl")).alias("ident"),
+    ).limit(40)
+    tok = make_tokenizer_udf("code")
+    return docs.select("docid", F.explode(tok(F.col("ident"))).alias("token"))
+
+
+register("code_analyzer_tokens", _code_analyzer_tokens, None)
