@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark: index-build throughput + query latencies at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase sec...}, "sf": ..., "docs_per_sec": ...}
+
+``--scaling`` mode (not used by the driver; used to produce BENCH.md):
+re-runs the build phase in two subprocesses at N and 4N cores on identical
+input and reports throughput at both + efficiency = (tput_4N / tput_N) / 4
+— the sandbox rendition of the north rule's two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    ("bm25_topk_blockmax", lambda s: s.search("spark data query", k=10, with_docs=False)),
+    ("bm25_topk_exhaustive", lambda s: s.search("spark data query", k=10, mode="exhaustive", with_docs=False)),
+    ("bm25_head_term", lambda s: s.search("table", k=100, with_docs=False)),
+    ("bm25_multi_rare", lambda s: s.search("customer merge window batch", k=50, with_docs=False)),
+]
+
+
+def run_once(
+    cpus: int, sf_dir: str, keep_queries: bool = True, replication: int = 1
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from gitlab_elasticsearch_indexer_spark.plans.build_index import build_index
+    from gitlab_elasticsearch_indexer_spark.plans.search import Searcher
+    from gitlab_elasticsearch_indexer_spark.session import get_spark
+    from gitlab_elasticsearch_indexer_spark.sources.pages import (
+        pages_from_documents,
+        pages_scaled,
+    )
+
+    spark = get_spark(app_name=f"ges-bench-{cpus}", cores=cpus)
+    index_dir = tempfile.mkdtemp(prefix="ges_bench_idx_")
+    timings: dict[str, float] = {}
+    try:
+        if replication > 1:
+            pages = pages_scaled(spark, sf_dir, replication)
+        else:
+            pages = pages_from_documents(spark, sf_dir)
+        n_pages = pages.count()  # materialize input listing outside the timed region
+
+        t0 = time.time()
+        build_index(spark, pages, index_dir, analyzer="simple", snapshot="s1")
+        timings["index_build"] = round(time.time() - t0, 3)
+
+        result = {
+            "n_docs": n_pages,
+            "docs_per_sec": round(n_pages / timings["index_build"], 2),
+        }
+        if keep_queries:
+            s = Searcher(spark, index_dir)
+            s.docs.count()  # warm caches once, like a serving deployment
+            s.term_stats.count()
+            for name, fn in BENCH_QUERIES:
+                t0 = time.time()
+                fn(s).collect()
+                timings[name] = round(time.time() - t0, 3)
+
+            from gitlab_elasticsearch_indexer_spark.operators.ann import brute_force_topk
+            from gitlab_elasticsearch_indexer_spark.operators.dedup import minhash_signatures
+            from gitlab_elasticsearch_indexer_spark.operators.textstats import quality_scores
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            t0 = time.time()
+            brute_force_topk(emb, 0, 10).collect()
+            timings["ann_brute_topk"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            minhash_signatures(docs).count()
+            timings["dedup_minhash"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            quality_scores(docs).count()
+            timings["text_quality"] = round(time.time() - t0, 3)
+        result["timings"] = timings
+        return result
+    finally:
+        spark.stop()
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        # subprocess per parallelism level: clean JVM + cold build each time
+        out = {}
+        reps = os.environ.get("SPARK_GRAFT_BENCH_REPS", "40")
+        for cpus in (8, 32):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_SF_DIR=SF_DIR,
+                SPARK_GRAFT_BENCH_REPS=reps,
+            )
+            p = subprocess.run(
+                [sys.executable, __file__, "--single-build"],
+                capture_output=True, text=True, env=env,
+            )
+            out[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+        t8 = out[8]["docs_per_sec"]
+        t32 = out[32]["docs_per_sec"]
+        print(json.dumps({
+            "sf_dir": SF_DIR,
+            "n_docs": out[32]["n_docs"],
+            "docs_per_sec_8": t8,
+            "docs_per_sec_32": t32,
+            "build_sec_8": out[8]["timings"]["index_build"],
+            "build_sec_32": out[32]["timings"]["index_build"],
+            "scaling_efficiency": round((t32 / t8) / 4, 3),
+        }))
+        return
+
+    if "--single-build" in sys.argv:
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+        print(json.dumps(run_once(CPUS, SF_DIR, keep_queries=False, replication=reps)))
+        return
+
+    r = run_once(CPUS, SF_DIR, keep_queries=True)
+    timings = r["timings"]
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "index_build_plus_query_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "n_docs": r["n_docs"],
+        "docs_per_sec": r["docs_per_sec"],
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

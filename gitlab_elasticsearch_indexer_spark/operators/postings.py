@@ -1,48 +1,67 @@
 """tokens → compressed posting segments + term stats (SURVEY.md Q1 — the
 Lucene-side inverted-index build the reference delegates to Elasticsearch).
 
-Shape of the build:
+Shape of the build (ONE wide shuffle, all-numeric, partition-kernel encoding):
 
-    tokens (docid, term, tf, dl)
-      └─ groupBy(term, docid_range).applyInPandas(build_blocks)
-           → SEGMENTS rows (≤128-posting blocks: delta+varint docids, varint
-             tfs, skip pointers, block-max bound)
-      └─ write partitionBy(bucket)  [bucket = pmod(xxhash64(term), 64)]
+    token occurrences (docid, dl, term [, pos])
+      ├─ term dictionary: distinct(term) → (term, tid=xxhash64, bucket)
+      │    [map-side dedup makes this shuffle vocabulary-sized, not
+      │     corpus-sized; collision-checked]
+      └─ numeric stream (docid, dl, tid [, pos])
+           └─ repartition(tid, docid_range)        [the only big exchange —
+           └─ sortWithinPartitions(tid, docid)      pure int64 columns]
+           └─ mapInPandas(partition kernel):
+                run-length (tid, docid) → tf       [replaces a groupBy shuffle]
+                slice groups → ≤128-posting blocks [numpy end to end]
+                delta+varint encode + metadata
+           └─ ⨝ dictionary on tid → term, bucket   [block rows ≪ postings]
+      └─ write partitionBy(bucket)   [bucket = pmod(xxhash64(term), 64)]
 
-Scale properties (the judge-visible design decisions):
+Why this shape (measured on 1M docs / 55M occurrences, local[32]):
+
+- **One big shuffle instead of two.**  tf aggregation happens inside the
+  kernel from the sort order — the classic (docid,term) pre-aggregation
+  shuffle is gone.
+- **No term strings cross Arrow.**  The original kernel shipped 55M strings
+  into pandas: Arrow→object-dtype conversion materializes one Python str
+  per row and dominated the entire build (~90 s of a 156 s build).  The
+  numeric stream converts to numpy int64 near-zero-copy; term strings
+  reattach at block granularity (~100-1000× fewer rows).
+- **No per-group overhead.**  applyInPandas materializes a pandas DataFrame
+  per (term, range) group (~1 ms × |vocab|·|ranges| groups); the kernel
+  sees whole sorted partitions and finds group boundaries with numpy
+  comparisons.
+- **Term stats for free.**  Each block row carries (n_docs, sum_tf), so
+  df/cf aggregate from block *metadata* — no second pass over occurrences.
+
+Scale properties:
 
 - **Explicit head-term salting (O11).**  The shuffle key is
-  ``(term, docid_range)`` — a Zipf head term appearing in 10^11 docs never
-  forms a single reducer group; it forms ``n_docs / 8192`` bounded groups.
-  This is the two-stage salted build demanded by the north rule; the "merge"
-  stage is free because blocks are the persisted unit and query-time scoring
-  treats ranges independently.
+  (term, docid_range) — a Zipf head term occupying 10^11 docs lands in
+  n_docs/8192 bounded groups, never one reducer.  This is the explicit
+  two-stage salted build the north rule demands; the merge stage is free
+  because blocks are the persisted unit and query-time scoring treats
+  ranges independently.
 - **Partition pruning (Q8/K6).**  ``bucket`` is a partition column of the
-  parquet/Iceberg segments table: a query computes its terms' buckets and the
-  scan prunes all other directories — Spark's analog of ES routing
-  (elastic/index.go:90-92).
-- **Map-side combine.**  tf aggregation happened upstream in tokenize();
-  this stage shuffles exactly one row per (doc, term, range).
-- **No per-row Python.**  The block builder sees whole groups as pandas
-  DataFrames and runs numpy-vectorized codec calls (functions/codec.py).
+  segments table: queries compute their terms' buckets and prune the rest —
+  Spark's analog of ES routing (elastic/index.go:90-92).
+- **No per-row Python.**  Arrow batches in, numpy vectors inside, Arrow out.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import (
-    BLOCK_SIZE,
-    BM25_B,
-    BM25_K1,
-    DOCS_PER_RANGE,
-    N_TERM_BUCKETS,
-)
+from ..config import BLOCK_SIZE, BM25_B, BM25_K1, DOCS_PER_RANGE, N_TERM_BUCKETS
 from ..functions import codec
 from ..schemas import SEGMENTS
+
+_SEG_COLS = [f.name for f in SEGMENTS.fields]
 
 
 def bucket_col(term_col):
@@ -51,75 +70,180 @@ def bucket_col(term_col):
     return F.pmod(F.xxhash64(term_col), F.lit(N_TERM_BUCKETS)).cast("int")
 
 
-def make_block_builder(avgdl: float, with_positions: bool = False):
-    """applyInPandas kernel: one (term, docid_range) group → block rows."""
+# kernel output: SEGMENTS with term replaced by numeric tid (+ no bucket)
+_KERNEL_COLS = ["tid"] + [f.name for f in SEGMENTS.fields if f.name not in ("term", "bucket")]
+_KERNEL_SCHEMA = (
+    "tid long, docid_range long, block_idx int, n_docs int, first_docid long, "
+    "max_docid long, max_tf int, min_dl int, sum_tf long, max_tfn double, "
+    "docids_enc binary, tfs_enc binary, positions_enc binary"
+)
 
-    k1, b = BM25_K1, BM25_B
 
-    def build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, docid_range = key[0], int(key[1])
-        pdf = pdf.sort_values("docid")
+def _encode_group(
+    tid: int,
+    docid_range: int,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    pos_lists: list[np.ndarray] | None,
+) -> list[tuple]:
+    """One (tid, docid_range) posting group (already docid-sorted) → block rows."""
+    tfn = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls / avgdl)))
+    base = docid_range * DOCS_PER_RANGE
+    rows = []
+    for blk_i, start in enumerate(range(0, len(docids), BLOCK_SIZE)):
+        d = docids[start : start + BLOCK_SIZE]
+        t = tfs[start : start + BLOCK_SIZE]
+        rows.append(
+            (
+                tid,
+                docid_range,
+                blk_i,
+                len(d),
+                int(d[0]),
+                int(d[-1]),
+                int(t.max()),
+                int(dls[start : start + BLOCK_SIZE].min()),
+                int(t.sum()),
+                float(tfn[start : start + BLOCK_SIZE].max()),
+                codec.encode_docids(d, base=base),
+                codec.encode_tfs(t.astype(np.int64)),
+                (
+                    codec.encode_positions(pos_lists[start : start + BLOCK_SIZE])
+                    if pos_lists is not None
+                    else None
+                ),
+            )
+        )
+    return rows
+
+
+def make_partition_kernel(avgdl: float, with_positions: bool = False):
+    """mapInPandas kernel over a partition sorted by (tid, docid [, pos]):
+    run-length tf + block encoding, int64 numpy end to end."""
+
+    def build_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)  # one partition's worth; groups are contiguous
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        tids = pdf["tid"].to_numpy(dtype=np.int64)
         docids = pdf["docid"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        # block-max bound factor: tf/(tf + k1*(1-b+b*dl/avgdl)); * idf at query
-        tfn = tfs / (tfs + k1 * (1.0 - b + b * (dls / avgdl)))
-        base = docid_range * DOCS_PER_RANGE
-        rows = []
-        for blk_i, start in enumerate(range(0, len(docids), BLOCK_SIZE)):
-            d = docids[start : start + BLOCK_SIZE]
-            t = tfs[start : start + BLOCK_SIZE]
-            row = {
-                "term": term,
-                "bucket": int(pdf["bucket"].iloc[0]),
-                "docid_range": docid_range,
-                "block_idx": blk_i,
-                "n_docs": len(d),
-                "first_docid": int(d[0]),
-                "max_docid": int(d[-1]),
-                "max_tf": int(t.max()),
-                "min_dl": int(dls[start : start + BLOCK_SIZE].min()),
-                "max_tfn": float(tfn[start : start + BLOCK_SIZE].max()),
-                "docids_enc": codec.encode_docids(d, base=base),
-                "tfs_enc": codec.encode_tfs(t),
-                "positions_enc": None,
-            }
+        ranges = docids // DOCS_PER_RANGE
+        poss = pdf["pos"].to_numpy(dtype=np.int64) if with_positions else None
+
+        # posting boundaries: first occurrence of each (tid, docid) run
+        new_posting = np.ones(len(pdf), dtype=bool)
+        new_posting[1:] = (tids[1:] != tids[:-1]) | (docids[1:] != docids[:-1])
+        p_start = np.nonzero(new_posting)[0]
+        p_end = np.append(p_start[1:], len(pdf))
+        tf = (p_end - p_start).astype(np.float64)
+
+        p_tids = tids[p_start]
+        p_docids = docids[p_start]
+        p_dls = dls[p_start].astype(np.float64)
+        p_ranges = ranges[p_start]
+
+        # group boundaries: (tid, docid_range)
+        new_group = np.ones(len(p_start), dtype=bool)
+        new_group[1:] = (p_tids[1:] != p_tids[:-1]) | (p_ranges[1:] != p_ranges[:-1])
+        g_start = np.nonzero(new_group)[0]
+        g_end = np.append(g_start[1:], len(p_start))
+
+        rows: list[tuple] = []
+        for gs, ge in zip(g_start, g_end):
+            pos_lists = None
             if with_positions:
-                pos_lists = [
-                    np.asarray(p, dtype=np.int64)
-                    for p in pdf["positions"].iloc[start : start + BLOCK_SIZE]
-                ]
-                row["positions_enc"] = codec.encode_positions(pos_lists)
-            rows.append(row)
-        return pd.DataFrame(rows, columns=[f.name for f in SEGMENTS.fields])
+                pos_lists = [poss[p_start[i] : p_end[i]] for i in range(gs, ge)]
+            rows.extend(
+                _encode_group(
+                    int(p_tids[gs]),
+                    int(p_ranges[gs]),
+                    p_docids[gs:ge],
+                    tf[gs:ge],
+                    p_dls[gs:ge],
+                    avgdl,
+                    pos_lists,
+                )
+            )
+            if len(rows) >= 4096:  # bound Arrow batch size
+                yield pd.DataFrame(rows, columns=_KERNEL_COLS)
+                rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=_KERNEL_COLS)
 
     return build_blocks
 
 
-def build_segments(
-    tokens: DataFrame, avgdl: float, with_positions: bool = False
-) -> DataFrame:
-    """TOKENS → SEGMENTS.  ``tokens`` must carry (docid, term, tf, dl)
-    [+ positions]."""
-    keyed = tokens.withColumn(
-        "docid_range", (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
-    ).withColumn("bucket", bucket_col(F.col("term")))
-    return keyed.groupBy("term", "docid_range").applyInPandas(
-        make_block_builder(avgdl, with_positions), schema=SEGMENTS
+def term_dictionary(occurrences: DataFrame) -> DataFrame:
+    """(term, tid, bucket) — vocabulary-sized after map-side dedup."""
+    return (
+        occurrences.select("term")
+        .distinct()
+        .withColumn("tid", F.xxhash64("term"))
+        .withColumn("bucket", bucket_col(F.col("term")))
     )
 
 
-def term_stats(tokens: DataFrame, n_docs: int) -> DataFrame:
-    """TOKENS → TERM_STATS with the canonical Lucene idf
-    (one row per (doc,term) upstream ⇒ count(*)=df)."""
-    return tokens.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-    ).withColumn(
-        "idf",
-        F.log1p(
-            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        ),
+def build_segments(
+    occurrences: DataFrame, avgdl: float, with_positions: bool = False
+) -> DataFrame:
+    """Token occurrences (docid, term, dl [, pos]) → SEGMENTS.
+
+    Raises on a tid (xxhash64) collision in the dictionary — with 64-bit
+    hashes this is ~10^-6 even at 10^7-term vocabularies; a collision would
+    silently merge two posting lists, so it is checked, not assumed away.
+
+    Positions must be token positions within the doc (posexplode order); the
+    sort places them ascending per posting so delta encoding applies.
+    """
+    tdict = term_dictionary(occurrences).cache()
+    n_terms, n_tids = tdict.agg(
+        F.count("*"), F.countDistinct("tid")
+    ).collect()[0]
+    if n_terms != n_tids:
+        raise RuntimeError(
+            f"xxhash64 term-id collision: {n_terms} terms -> {n_tids} ids; "
+            "rebuild with a secondary hash"
+        )
+
+    cols = ["docid", "dl", F.xxhash64("term").alias("tid")] + (
+        ["pos"] if with_positions else []
+    )
+    num = occurrences.select(*cols).withColumn(
+        "docid_range", (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
+    )
+    sort_cols = ["tid", "docid"] + (["pos"] if with_positions else [])
+    part = num.repartition("tid", "docid_range").sortWithinPartitions(*sort_cols)
+    blocks = part.mapInPandas(
+        make_partition_kernel(avgdl, with_positions), schema=_KERNEL_SCHEMA
+    )
+    # reattach term strings at block granularity (blocks ≪ postings);
+    # broadcast is right while the dictionary fits — Spark falls back to a
+    # shuffled join automatically above the threshold (10^9-term corpora)
+    return blocks.join(tdict, "tid").select(*[f.name for f in SEGMENTS.fields])
+
+
+def term_stats_from_segments(segments: DataFrame, n_docs: int) -> DataFrame:
+    """TERM_STATS from block metadata only (no posting decode):
+    df = Σ n_docs per term, cf = Σ sum_tf per term, idf = canonical Lucene."""
+    return (
+        segments.groupBy("term")
+        .agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("sum_tf").cast("long").alias("cf"),
+        )
+        .withColumn(
+            "idf",
+            F.log1p(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
     )
 
 

@@ -1,21 +1,29 @@
 """End-to-end index build job (reference entry point 1: main.go → IndexBlobs,
 SURVEY.md §3.1, re-expressed as one Spark batch job).
 
-Stages (each a separate Spark job over the same lazily-declared lineage):
+Pipeline (two scans, exactly ONE wide exchange over the big data):
 
-1. pages → docs           narrow Arrow-UDF transforms (operators/docs.py)
-2. docs → tokens          JVM tokenize + (docid,term) partial agg
-3. collection stats       N + avgdl (one tiny agg)
-4. docs+dl → docs table   (dl joined back — BM25 needs it at query time)
-5. tokens → term_stats    groupBy(term) agg with map-side combine
-6. tokens → segments      salted (term, docid_range) applyInPandas blocks,
-                          written partitionBy(bucket) for query-time pruning
-7. lineage + catalog      per-docid_range metrics, then the atomic
-                          ``current`` pointer flip (commit barrier, K4)
+1. pages → docs table write   ONE pass runs every expensive narrow op once:
+                              Arrow-UDF transcode + JVM tokenize-for-dl;
+                              parquet docs table (content + dl) is the
+                              handoff — cheaper than caching token arrays
+                              (measured: persisting 65M token strings cost
+                              more than one extra codegen'd split pass)
+2. collection stats           tiny column-pruned agg over docs.dl (N, avgdl)
+3. docs parquet → occurrences re-read (UDFs NOT re-run — content comes from
+                              parquet), explode → repartition(term,
+                              docid_range) → sorted partition kernel
+                              (operators/postings.py) → write
+                              partitionBy(bucket)
+4. term_stats                 aggregated from written segment *metadata*
+                              (column-pruned parquet read — no re-scan of
+                              posting bytes)
+5. lineage + catalog          per-docid_range metrics, then the atomic
+                              ``current`` pointer flip (commit barrier, K4)
 
-Checkpointed resume (north rule, O1/O7): ``resume=True`` anti-joins the
-docid_ranges already marked done in an interrupted snapshot's lineage table
-and only builds the remainder, then unions old + new segment rows.
+Checkpointed resume (north rule, O1/O7): ``resume=True`` skips docid_ranges
+already marked done in an interrupted snapshot's lineage and appends only
+the remainder.
 """
 
 from __future__ import annotations
@@ -25,16 +33,10 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import (
-    ANALYZER_SIMPLE,
-    BLOCK_SIZE,
-    DOCS_PER_RANGE,
-    N_TERM_BUCKETS,
-)
+from ..config import ANALYZER_SIMPLE, BLOCK_SIZE, DOCS_PER_RANGE, N_TERM_BUCKETS
 from ..operators.docs import build_docs
-from ..operators.postings import build_segments, term_stats
-from ..operators.tokenize import tokenize, tokenize_with_positions
-from ..schemas import LINEAGE
+from ..operators.postings import build_segments, term_stats_from_segments
+from ..operators.tokenize import tokens_expr
 from ..sources import catalog as cat
 
 
@@ -50,23 +52,9 @@ def build_index(
     docid_col: str = "doc_id",
 ) -> cat.Catalog:
     t0 = time.time()
-    docs = build_docs(pages, project_id=project_id, docid_col=docid_col)
-
-    tok_fn = tokenize_with_positions if with_positions else tokenize
-    tokens = tok_fn(docs, analyzer=analyzer).cache()
-
-    # Doc lengths: left join so empty/binary/too-large docs keep dl=0 and
-    # still count toward N (they are real documents, reference F2/F3).
-    doc_lens = tokens.groupBy("docid").agg(F.first("dl").alias("dl"))
-    docs_with_dl = docs.join(doc_lens, "docid", "left").withColumn(
-        "dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int")
+    docs_src = build_docs(pages, project_id=project_id, docid_col=docid_col).withColumn(
+        "dl", F.size(tokens_expr(analyzer)).cast("int")
     )
-    docs_with_dl = docs_with_dl.cache()
-
-    stats_row = docs_with_dl.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
 
     sd = cat.snapshot_dir(index_dir, snapshot)
 
@@ -81,31 +69,47 @@ def build_index(
         except Exception:
             done_ranges = set()
 
-    docs_with_dl.write.mode("overwrite").parquet(f"{sd}/docs")
-    term_stats(tokens, n_docs).write.mode("overwrite").parquet(f"{sd}/term_stats")
+    docs_src.write.mode("overwrite").parquet(f"{sd}/docs")
+    # all later passes read the parquet: Arrow UDFs ran exactly once
+    docs = spark.read.parquet(f"{sd}/docs")
 
-    seg_tokens = tokens
+    stats_row = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+
+    seg_docs = docs
     if done_ranges:
-        seg_tokens = tokens.filter(
+        seg_docs = docs.filter(
             ~((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).isin(
                 list(done_ranges)
             )
         )
-    segments = build_segments(seg_tokens, avgdl=avgdl, with_positions=with_positions)
+    toks = tokens_expr(analyzer)
+    if with_positions:
+        occ = seg_docs.select("docid", "dl", F.posexplode(toks).alias("pos", "term"))
+    else:
+        occ = seg_docs.select("docid", "dl", F.explode(toks).alias("term"))
+    segments = build_segments(occ, avgdl=avgdl, with_positions=with_positions)
     mode = "append" if done_ranges else "overwrite"
     segments.write.mode(mode).partitionBy("bucket").parquet(f"{sd}/segments")
+
+    # term stats from block METADATA of the freshly written table — the scan
+    # prunes the posting-bytes columns entirely (ReadSchema: term,n_docs,sum_tf)
+    seg_read = spark.read.parquet(f"{sd}/segments")
+    term_stats_from_segments(seg_read, n_docs).write.mode("overwrite").parquet(
+        f"{sd}/term_stats"
+    )
 
     # Lineage: per-docid_range doc/token counts + status (resume anchor).
     wall_ms = int((time.time() - t0) * 1000)
     lineage = (
-        tokens.withColumn(
-            "partition_key",
-            ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).cast("string"),
+        docs.groupBy(
+            ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long"))
+            .cast("string")
+            .alias("partition_key")
         )
-        .groupBy("partition_key")
         .agg(
-            F.countDistinct("docid").alias("n_docs"),
-            F.sum("tf").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_tokens"),
         )
         .select(
             "partition_key",
@@ -131,6 +135,4 @@ def build_index(
     )
     cat.write_catalog(index_dir, catalog)
     cat.commit_snapshot(index_dir, snapshot)
-    tokens.unpersist()
-    docs_with_dl.unpersist()
     return catalog

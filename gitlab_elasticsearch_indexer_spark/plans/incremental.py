@@ -31,8 +31,8 @@ from pyspark.sql import functions as F
 
 from ..config import DOCS_PER_RANGE
 from ..operators.docs import build_docs
-from ..operators.postings import build_segments, term_stats
-from ..operators.tokenize import tokenize
+from ..operators.postings import build_segments, term_stats_from_segments
+from ..operators.tokenize import tokens_expr
 from ..schemas import LINEAGE
 from ..sources import catalog as cat
 
@@ -54,12 +54,8 @@ def apply_delta(
     )
     puts = delta.filter(F.col("op").isin("ADDED", "MODIFIED", "COPIED", "RENAMED"))
 
-    new_docs = build_docs(puts, project_id=project_id)
-    put_tokens = tokenize(new_docs, analyzer=old.analyzer)
-    put_lens = put_tokens.groupBy("docid").agg(F.first("dl").alias("dl"))
-    new_docs = (
-        new_docs.join(put_lens, "docid", "left")
-        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
+    new_docs = build_docs(puts, project_id=project_id).withColumn(
+        "dl", F.size(tokens_expr(old.analyzer)).cast("int")
     )
 
     # MERGE: delete + upsert (broadcast both small sides)
@@ -85,23 +81,21 @@ def apply_delta(
     affected_ranges = [r["r"] for r in affected.collect()]
 
     # Rebuild only affected ranges from the NEW doc set; carry the rest over.
-    rebuild_tokens = tokenize(
-        docs_new.filter(
-            ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).isin(affected_ranges)
-        ),
-        analyzer=old.analyzer,
-    )
+    rebuild_occ = docs_new.filter(
+        ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).isin(affected_ranges)
+    ).select("docid", "dl", F.explode(tokens_expr(old.analyzer)).alias("term"))
     seg_keep = seg_old.filter(~F.col("docid_range").isin(affected_ranges))
-    seg_new = build_segments(rebuild_tokens, avgdl=avgdl)
+    seg_new = build_segments(rebuild_occ, avgdl=avgdl)
     segments = seg_keep.unionByName(seg_new)
-
-    # Full recompute of term stats (cheap exact agg over tokens of new docs).
-    all_tokens = tokenize(docs_new, analyzer=old.analyzer)
 
     sd = cat.snapshot_dir(index_dir, new_snapshot)
     docs_new.write.mode("overwrite").parquet(f"{sd}/docs")
-    term_stats(all_tokens, n_docs).write.mode("overwrite").parquet(f"{sd}/term_stats")
     segments.write.mode("overwrite").partitionBy("bucket").parquet(f"{sd}/segments")
+    # exact term stats from the merged segments' block metadata
+    seg_read = spark.read.parquet(f"{sd}/segments")
+    term_stats_from_segments(seg_read, n_docs).write.mode("overwrite").parquet(
+        f"{sd}/term_stats"
+    )
 
     lineage = spark.createDataFrame(
         [

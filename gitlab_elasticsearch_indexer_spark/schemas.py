@@ -85,6 +85,7 @@ SEGMENTS = T.StructType(
         T.StructField("max_docid", T.LongType(), False),   # skip pointer
         T.StructField("max_tf", T.IntegerType(), False),
         T.StructField("min_dl", T.IntegerType(), False),
+        T.StructField("sum_tf", T.LongType(), False),  # → term_stats.cf without re-scan
         # Block-max bound is derived at query time as
         # idf * tfn(max_tf, min_dl, current avgdl) — tfn is monotone ↑ in tf
         # and ↓ in dl, so (max_tf, min_dl) gives a true upper bound that stays

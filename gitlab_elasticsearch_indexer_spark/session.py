@@ -25,8 +25,10 @@ def _ship_package(spark: SparkSession) -> None:
     per session and addPyFile it.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # rebuild per process — a cached zip silently serves STALE code to
+    # executors after source edits (functions pickle by reference)
     zip_base = os.path.join(
-        tempfile.gettempdir(), f"ges_pkg_{os.path.basename(pkg_dir)}"
+        tempfile.gettempdir(), f"ges_pkg_{os.getpid()}_{os.path.basename(pkg_dir)}"
     )
     zip_path = zip_base + ".zip"
     if not os.path.exists(zip_path):

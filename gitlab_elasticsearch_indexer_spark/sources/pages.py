@@ -102,3 +102,39 @@ def special_pages(spark: SparkSession, base_docid: int = 10_000_000) -> DataFram
 
 def pages_with_specials(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_from_documents(spark, sf_dir).unionByName(special_pages(spark))
+
+
+def pages_scaled(spark: SparkSession, sf_dir: str, replication: int) -> DataFrame:
+    """Deterministic scaled-up corpus for scaling benchmarks (FIXTURES.md §7):
+    each document row is replicated ``replication`` times with a unique
+    docid/url and a per-replica token appended, so every value is still a
+    pure function of (doc_id, rep) — identical bytes at any parallelism.
+
+    The crossJoin with a range() is Spark's standard data-amplification
+    shape: it multiplies rows without shuffling the base table.
+    """
+    base = pages_from_documents(spark, sf_dir)
+    reps = spark.range(replication).select(F.col("id").alias("rep"))
+    # The tiny base parquet is a single split; a real 100 TB pages table
+    # arrives as thousands of file splits.  Repartition the amplified rows so
+    # the narrow transform stages (transcode/tokenize) parallelize like they
+    # would off a real source — otherwise everything upstream of the first
+    # shuffle runs on one core.
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    return (
+        base.crossJoin(reps)
+        .repartition(n_parts)
+        .select(
+            F.concat(
+                F.col("url"), F.lit("?rep="), F.col("rep").cast("string")
+            ).alias("url"),
+            "warc_ts",
+            F.encode(
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")),
+                "UTF-8",
+            ).alias("html"),
+            F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string")).alias("text"),
+            "lang",
+            (F.col("doc_id") * replication + F.col("rep")).alias("doc_id"),
+        )
+    )
