@@ -25,6 +25,11 @@ def _prep(spark: SparkSession) -> SparkSession:
         _ship_package(spark)
     except Exception:
         pass
+    # timestamp formatting entries assume UTC (oracle emits '+0000')
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark
 
 

@@ -1,4 +1,5 @@
-"""Posting-block codec: docID-delta + LEB128 varint, numpy-vectorized.
+"""Posting-block codecs: docID-delta + LEB128 varint, and FOR
+(frame-of-reference) fixed-width bit-packing — both numpy-vectorized.
 
 The reference delegates this to Lucene (FOR/vInt block postings with skip
 data and block-max metadata — driven by the mapping's per-field
@@ -8,11 +9,21 @@ per-element Python loops, so the applyInPandas posting builder and the
 query-time block reader stay Arrow/numpy-speed.
 
 Layout per block (BLOCK_SIZE=128 postings, like Lucene):
-- ``docids_enc``: varint(delta) where delta[0]=docid[0]-base, rest adjacent
+- ``docids_enc``: encoded deltas where delta[0]=docid[0]-base, rest adjacent
   diffs (strictly positive — docids are unique and sorted).
-- ``tfs_enc``:    varint(tf).
+- ``tfs_enc``:    encoded tf values.
 Block metadata (first/max docid = skip pointers, max_tf, max_tfn = block-max
 score bound) lives in sibling columns of the segments table (schemas.py).
+
+Self-describing payloads: the first byte tags the codec —
+``0x00`` LEB128 varint stream, ``0x01`` FOR bit-packing
+(u8 width | u32 count | little-endian packed words).  The encoder picks FOR
+when the block's max value fits ≤32 bits (docid deltas within an 8192-doc
+range need ≤13; tfs are small), else falls back to varint — so decode never
+needs out-of-band configuration, mirroring Lucene's per-block FOR/vInt
+switching.  Exception-patching (PForDelta proper) is intentionally omitted:
+with delta+range-bounded blocks the width is already tight, and a single
+wide block falls back to varint.
 """
 
 from __future__ import annotations
@@ -20,6 +31,73 @@ from __future__ import annotations
 import numpy as np
 
 _MAX_VARINT_BYTES = 10  # enough for uint64
+
+TAG_VARINT = 0x00
+TAG_FOR = 0x01
+_FOR_MAX_WIDTH = 32  # wider values → varint fallback (shift safety + rarity
+
+
+def _bit_width(max_value: int) -> int:
+    return max(int(max_value).bit_length(), 1)
+
+
+def for_pack(values: np.ndarray, width: int) -> bytes:
+    """Fixed-width little-endian bit-packing, vectorized (width ≤ 32)."""
+    values = np.asarray(values, dtype=np.uint64)
+    n = values.size
+    total_bits = n * width
+    n_bytes = (total_bits + 7) // 8
+    buf = np.zeros(n_bytes + 8, dtype=np.uint8)  # slack for last shifts
+    offsets = np.arange(n, dtype=np.int64) * width
+    byte_idx = offsets >> 3
+    shifts = (offsets & 7).astype(np.uint64)
+    shifted = values << shifts  # ≤ 32+7 bits, safe in uint64
+    for b in range((width + 7 + 7) // 8 + 1):
+        chunk = ((shifted >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+        np.add.at(buf, byte_idx + b, chunk)  # disjoint bits per byte → OR==ADD
+    return buf[:n_bytes].tobytes()
+
+
+def for_unpack(buf: bytes, n: int, width: int) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    padded = np.zeros(b.size + 8, dtype=np.uint8)
+    padded[: b.size] = b
+    offsets = np.arange(n, dtype=np.int64) * width
+    byte_idx = offsets >> 3
+    shifts = (offsets & 7).astype(np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    for i in range((width + 7 + 7) // 8 + 1):
+        acc |= padded[byte_idx + i].astype(np.uint64) << np.uint64(8 * i)
+    acc >>= shifts
+    mask = np.uint64((1 << width) - 1)
+    return acc & mask
+
+
+def block_encode(values: np.ndarray) -> bytes:
+    """Tagged block encoding: FOR when the max fits ≤32 bits, else varint."""
+    values = np.asarray(values, dtype=np.uint64)
+    if values.size == 0:
+        return bytes([TAG_VARINT])
+    width = _bit_width(int(values.max()))
+    if width <= _FOR_MAX_WIDTH:
+        header = bytes([TAG_FOR, width]) + np.uint32(values.size).tobytes()
+        return header + for_pack(values, width)
+    return bytes([TAG_VARINT]) + varint_encode(values)
+
+
+def block_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    tag = buf[0]
+    if tag == TAG_FOR:
+        width = buf[1]
+        n = int(np.frombuffer(buf[2:6], dtype=np.uint32)[0])
+        out = for_unpack(buf[6:], n, width)
+    elif tag == TAG_VARINT:
+        out = varint_decode(buf[1:])
+    else:
+        raise ValueError(f"unknown codec tag {tag}")
+    if count is not None and out.size != count:
+        raise ValueError(f"decoded {out.size} values, expected {count}")
+    return out
 
 
 def varint_encode(values: np.ndarray) -> bytes:
@@ -72,16 +150,17 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
 
 
 def encode_docids(docids: np.ndarray, base: int = 0) -> bytes:
-    """Sorted unique docids -> delta+varint bytes (delta[0] relative to base)."""
+    """Sorted unique docids -> delta + tagged block bytes (delta[0] relative
+    to base)."""
     docids = np.asarray(docids, dtype=np.int64)
     deltas = np.diff(docids, prepend=np.int64(base))
     if deltas.size and deltas.min() < 0:
         raise ValueError("docids must be sorted ascending and >= base")
-    return varint_encode(deltas.astype(np.uint64))
+    return block_encode(deltas.astype(np.uint64))
 
 
 def decode_docids(buf: bytes, base: int = 0, count: int | None = None) -> np.ndarray:
-    deltas = varint_decode(buf, count).astype(np.int64)
+    deltas = block_decode(buf, count).astype(np.int64)
     if deltas.size == 0:
         return deltas
     out = np.cumsum(deltas)
@@ -90,11 +169,11 @@ def decode_docids(buf: bytes, base: int = 0, count: int | None = None) -> np.nda
 
 
 def encode_tfs(tfs: np.ndarray) -> bytes:
-    return varint_encode(np.asarray(tfs, dtype=np.uint64))
+    return block_encode(np.asarray(tfs, dtype=np.uint64))
 
 
 def decode_tfs(buf: bytes, count: int | None = None) -> np.ndarray:
-    return varint_decode(buf, count).astype(np.int64)
+    return block_decode(buf, count).astype(np.int64)
 
 
 def encode_positions(position_lists: list[np.ndarray]) -> bytes:

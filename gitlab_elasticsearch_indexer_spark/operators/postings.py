@@ -61,9 +61,6 @@ from ..config import BLOCK_SIZE, BM25_B, BM25_K1, DOCS_PER_RANGE, N_TERM_BUCKETS
 from ..functions import codec
 from ..schemas import SEGMENTS
 
-_SEG_COLS = [f.name for f in SEGMENTS.fields]
-
-
 def bucket_col(term_col):
     """Hash-bucket routing for terms — identical expression at build and
     query time (so pruning is exact)."""

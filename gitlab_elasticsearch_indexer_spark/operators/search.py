@@ -61,11 +61,12 @@ def search_exhaustive(
     term_stats: DataFrame,
     docs: DataFrame,
     query_terms: list[str],
-    k: int,
+    k: int | None,
     avgdl: float,
     doc_filter: Column | None = None,
 ) -> DataFrame:
-    """→ (docid, score) top-k, tie-break (score desc, docid asc)."""
+    """→ (docid, score) top-k, tie-break (score desc, docid asc).
+    ``k=None`` scores everything (no TakeOrdered truncation)."""
     spark = segments.sparkSession
     if not query_terms:
         return spark.createDataFrame([], "docid long, score double")
@@ -86,7 +87,8 @@ def search_exhaustive(
         .groupBy("docid")
         .agg(F.sum("s").alias("score"))
     )
-    return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    ranked = scored.orderBy(F.desc("score"), F.asc("docid"))
+    return ranked if k is None else ranked.limit(k)
 
 
 def phrase_filter_docids(

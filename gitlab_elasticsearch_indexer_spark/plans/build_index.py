@@ -37,6 +37,7 @@ from ..config import ANALYZER_SIMPLE, BLOCK_SIZE, DOCS_PER_RANGE, N_TERM_BUCKETS
 from ..operators.docs import build_docs
 from ..operators.postings import build_segments, term_stats_from_segments
 from ..operators.tokenize import tokens_expr
+from ..schemas import LINEAGE
 from ..sources import catalog as cat
 
 
@@ -73,8 +74,18 @@ def build_index(
     # all later passes read the parquet: Arrow UDFs ran exactly once
     docs = spark.read.parquet(f"{sd}/docs")
 
-    stats_row = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+    # ONE tiny agg serves both collection stats and the lineage rows
+    # (column-pruned scan of docid+dl only)
+    range_rows = (
+        docs.groupBy(
+            ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).alias("rng")
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("n_tokens"))
+        .collect()
+    )
+    n_docs = sum(r["n_docs"] for r in range_rows)
+    total_tokens = sum(r["n_tokens"] for r in range_rows)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
     seg_docs = docs
     if done_ranges:
@@ -90,7 +101,12 @@ def build_index(
         occ = seg_docs.select("docid", "dl", F.explode(toks).alias("term"))
     segments = build_segments(occ, avgdl=avgdl, with_positions=with_positions)
     mode = "append" if done_ranges else "overwrite"
-    segments.write.mode(mode).partitionBy("bucket").parquet(f"{sd}/segments")
+    # cluster block rows by bucket first: without this every write task emits
+    # a file per bucket directory (tasks × 64 small files) and the driver's
+    # serial commit/rename phase dominates small-core runs
+    segments.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
+        f"{sd}/segments"
+    )
 
     # term stats from block METADATA of the freshly written table — the scan
     # prunes the posting-bytes columns entirely (ReadSchema: term,n_docs,sum_tf)
@@ -99,29 +115,18 @@ def build_index(
         f"{sd}/term_stats"
     )
 
-    # Lineage: per-docid_range doc/token counts + status (resume anchor).
+    # Lineage: per-docid_range doc/token counts + status (resume anchor) —
+    # rows already aggregated above, written driver-side (range count is tiny).
     wall_ms = int((time.time() - t0) * 1000)
-    lineage = (
-        docs.groupBy(
-            ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long"))
-            .cast("string")
-            .alias("partition_key")
-        )
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("dl").cast("long").alias("n_tokens"),
-        )
-        .select(
-            "partition_key",
-            F.lit(None).cast("string").alias("from_snapshot"),
-            F.lit(snapshot).alias("to_snapshot"),
-            "n_docs",
-            "n_tokens",
-            F.lit("done").alias("status"),
-            F.lit(wall_ms).alias("wall_ms"),
-        )
+    lineage = spark.createDataFrame(
+        [
+            (str(r["rng"]), None, snapshot, r["n_docs"], r["n_tokens"], "done", wall_ms)
+            for r in range_rows
+        ]
+        or [("-", None, snapshot, 0, 0, "done", wall_ms)],
+        LINEAGE,
     )
-    lineage.write.mode("overwrite").parquet(f"{sd}/lineage")
+    lineage.coalesce(1).write.mode("overwrite").parquet(f"{sd}/lineage")
 
     catalog = cat.Catalog(
         n_docs=n_docs,

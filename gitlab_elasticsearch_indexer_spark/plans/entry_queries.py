@@ -1082,3 +1082,244 @@ def _code_analyzer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("code_analyzer_tokens", _code_analyzer_tokens, None)
+
+
+# ===========================================================================
+# Second doc type: page_meta (reference commits analog — P8/K5/Q7)
+# ===========================================================================
+def _meta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-style metadata documents: Person assembly (P8: name/email +
+    %Y%m%dT%H%M%S%z time) + deterministic IDs (P4) + permission ints
+    (indexer/indexer.go:65-68).  Routed to their own table in a real
+    deployment (K5: separate commits index, elastic/client.go:60-62)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    authored = F.expr(
+        "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id*7)"
+    )
+    return docs.select(
+        F.concat(F.lit("1_meta"), F.col("doc_id").cast("string")).alias("id"),
+        F.col("doc_id").cast("long").alias("docid"),
+        F.concat(F.lit("Author "), (F.col("doc_id") % 50).cast("string")).alias(
+            "author_name"
+        ),
+        F.concat(
+            F.lit("author"), (F.col("doc_id") % 50).cast("string"), F.lit("@example.com")
+        ).alias("author_email"),
+        F.date_format(authored, "yyyyMMdd'T'HHmmssZ").alias("authored_at"),
+        F.substring("text", 1, 80).alias("message"),
+        ((F.col("doc_id") % 3) * 10).cast("int").alias("visibility_level"),
+        ((F.col("doc_id") % 2) * 20).cast("int").alias("repository_access_level"),
+    )
+
+
+register(
+    "meta_docs",
+    _meta_docs,
+    """
+SELECT '1_meta' || CAST(doc_id AS VARCHAR) AS id,
+       CAST(doc_id AS BIGINT) AS docid,
+       'Author ' || CAST(doc_id % 50 AS VARCHAR) AS author_name,
+       'author' || CAST(doc_id % 50 AS VARCHAR) || '@example.com' AS author_email,
+       strftime(TIMESTAMP '2024-03-01 00:00:00' + INTERVAL (doc_id * 7) SECOND,
+                '%Y%m%dT%H%M%S') || '+0000' AS authored_at,
+       substring(text, 1, 80) AS message,
+       CAST((doc_id % 3) * 10 AS INT) AS visibility_level,
+       CAST((doc_id % 2) * 20 AS INT) AS repository_access_level
+FROM documents
+""",
+)
+
+
+def _meta_permission_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 permission filter over the second doc type: only docs with
+    visibility_level >= 10 AND repository_access_level >= 20 survive."""
+    meta = _meta_docs(spark, sf_dir)
+    return (
+        meta.filter(
+            (F.col("visibility_level") >= 10) & (F.col("repository_access_level") >= 20)
+        )
+        .groupBy("visibility_level")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+register(
+    "meta_permission_rollup",
+    _meta_permission_rollup,
+    """
+SELECT CAST((doc_id % 3) * 10 AS INT) AS visibility_level,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE (doc_id % 3) * 10 >= 10 AND (doc_id % 2) * 20 >= 20
+GROUP BY 1
+""",
+)
+
+
+# ===========================================================================
+# F1 submodule filter + K8 point lookup + A10 sha normalizer
+# ===========================================================================
+def _submodule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (git/gitaly.go:179-184): drop changes whose old or new mode is
+    0160000 (gitlink/submodule).  Modes synthesized deterministically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    submodule = 0o160000
+    regular = 0o100644
+    changes = docs.select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.when(F.col("doc_id") % 31 == 5, submodule).otherwise(regular).alias("old_mode"),
+        F.when(F.col("doc_id") % 37 == 7, submodule).otherwise(regular).alias("new_mode"),
+    )
+    return changes.filter(
+        (F.col("old_mode") != submodule) & (F.col("new_mode") != submodule)
+    ).select("docid")
+
+
+register(
+    "submodule_filter",
+    _submodule_filter,
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS docid
+FROM documents
+WHERE NOT (doc_id % 31 = 5) AND NOT (doc_id % 37 = 7)
+""",
+)
+
+
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 point GET by deterministic doc ID (elastic/client.go:231-246) —
+    runs against the REAL docs table so it exercises the id generation and
+    the (partition-prunable) filter path."""
+    s = _searcher(spark, sf_dir)
+    return s.lookup("1_https://example.com/src0/doc0.html").select(
+        "docid", "url", "file_name", "lang"
+    )
+
+
+register(
+    "point_lookup",
+    _point_lookup,
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       {_URL_SQL} AS url,
+       'doc' || CAST(doc_id AS VARCHAR) || '.html' AS file_name,
+       lang
+FROM documents
+WHERE doc_id = 0 AND source = 'src0'
+""",
+)
+
+
+def _sha_normalized_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 sha_normalizer (elastic/index.go:78-85): keyword values lowercase
+    at both index and query time, so mixed-case lookups match."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shas = docs.select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.upper(F.md5(F.encode(F.col("source"), "UTF-8"))).alias("raw_sha"),
+    )
+    normalized = shas.withColumn("sha", F.lower("raw_sha"))
+    query_sha = F.lower(F.lit("9A0D5381A7FD1F99C6FB6A9F35F9C0A8"))  # arbitrary probe
+    return normalized.select("docid", "sha").filter(
+        F.col("sha") == F.lower(F.md5(F.encode(F.lit("src0"), "UTF-8")))
+    )
+
+
+register(
+    "sha_normalized_lookup",
+    _sha_normalized_lookup,
+    """
+SELECT CAST(doc_id AS BIGINT) AS docid, lower(upper(md5(source))) AS sha
+FROM documents
+WHERE lower(upper(md5(source))) = md5('src0')
+""",
+)
+
+
+# ===========================================================================
+# Embedding-cosine near-duplicate pairs (dedup via embeddings)
+# ===========================================================================
+def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection on the embedding column: candidate pairs from the
+    sign-LSH bucket, kept when cosine >= 0.95 — the embedding analog of
+    minhash-LSH + verify."""
+    from ..operators.ann import cosine_col, sign_bucket
+
+    emb = _embeddings(spark, sf_dir).withColumn(
+        "bucket", sign_bucket(F.col("embedding"))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("a_emb"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_vec_id"), F.col("embedding").alias("b_emb"), "bucket"
+    )
+    cos = F.round(cosine_col(F.col("a_emb"), F.col("b_emb")), 4)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_vec_id") < F.col("b_vec_id"))
+        .select(
+            F.col("a_vec_id").cast("long").alias("a_vec_id"),
+            F.col("b_vec_id").cast("long").alias("b_vec_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.95)
+    )
+
+
+_COS_AB_SQL = """
+round(
+  list_sum(list_transform(generate_series(1, len(a.embedding)),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+, 4)
+"""
+
+register(
+    "dedup_embedding_pairs",
+    _dedup_embedding_pairs,
+    f"""
+WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS a_vec_id, CAST(b.vec_id AS BIGINT) AS b_vec_id,
+       {_COS_AB_SQL} AS cosine
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_AB_SQL} >= 0.95
+""",
+)
+
+
+# ===========================================================================
+# Envelope assembly (P9/P10, rows-only — JSON shape has no stable SQL twin)
+# ===========================================================================
+def _doc_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's document envelope (indexer/indexer.go:44-99): nested
+    doc + type + join_field{name, parent: 'project_<id>'} + project_id,
+    serialized to JSON (P10's struct→map flatten = to_json)."""
+    s = _searcher(spark, sf_dir)
+    env = s.docs.select(
+        F.col("id"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("url").alias("path"),
+                    F.col("file_name"),
+                    F.col("lang").alias("language"),
+                    F.col("warc_ts_fmt").alias("updated_at"),
+                ).alias("blob"),
+                F.lit("blob").alias("type"),
+                F.struct(
+                    F.lit("blob").alias("name"),
+                    F.concat(F.lit("project_"), F.col("project_id")).alias("parent"),
+                ).alias("join_field"),
+                F.col("project_id"),
+                F.col("visibility_level"),
+            )
+        ).alias("envelope"),
+    )
+    return env.orderBy("id").limit(20)
+
+
+register("doc_envelope_json", _doc_envelope_json, None)

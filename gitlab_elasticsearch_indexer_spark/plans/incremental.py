@@ -90,7 +90,9 @@ def apply_delta(
 
     sd = cat.snapshot_dir(index_dir, new_snapshot)
     docs_new.write.mode("overwrite").parquet(f"{sd}/docs")
-    segments.write.mode("overwrite").partitionBy("bucket").parquet(f"{sd}/segments")
+    segments.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{sd}/segments"
+    )
     # exact term stats from the merged segments' block metadata
     seg_read = spark.read.parquet(f"{sd}/segments")
     term_stats_from_segments(seg_read, n_docs).write.mode("overwrite").parquet(

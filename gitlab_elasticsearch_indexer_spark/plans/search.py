@@ -81,7 +81,7 @@ class Searcher:
             self.term_stats,
             self.docs,
             terms,
-            k=2**31 - 1,
+            k=None,
             avgdl=self.catalog.avgdl,
         )
         return (

@@ -188,3 +188,45 @@ class TestBM25:
         out = tf_norm_np(np.array([2]), np.array([100]), avgdl=100.0)
         # tf/(tf + k1*(1-b+b*1)) = 2/(2+1.2)
         assert out[0] == pytest.approx(2 / 3.2)
+
+
+class TestForCodec:
+    def test_for_pack_roundtrip(self):
+        vals = np.array([0, 1, 5, 8191, 13, 127], dtype=np.uint64)
+        width = 13
+        assert np.array_equal(
+            codec.for_unpack(codec.for_pack(vals, width), len(vals), width), vals
+        )
+
+    def test_block_encode_uses_for_for_small(self):
+        vals = np.arange(128, dtype=np.uint64)
+        enc = codec.block_encode(vals)
+        assert enc[0] == codec.TAG_FOR
+        assert np.array_equal(codec.block_decode(enc, 128), vals)
+        # FOR should beat varint on dense deltas
+        assert len(enc) < len(codec.varint_encode(vals)) + 1
+
+    def test_block_encode_falls_back_to_varint(self):
+        vals = np.array([2**40, 1, 2], dtype=np.uint64)
+        enc = codec.block_encode(vals)
+        assert enc[0] == codec.TAG_VARINT
+        assert np.array_equal(codec.block_decode(enc, 3), vals)
+
+    def test_empty(self):
+        assert np.array_equal(codec.block_decode(codec.block_encode(np.array([], dtype=np.uint64))), np.array([], dtype=np.uint64))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=300),
+    )
+    def test_for_roundtrip_property(self, xs):
+        vals = np.array(xs, dtype=np.uint64)
+        enc = codec.block_encode(vals)
+        assert np.array_equal(codec.block_decode(enc, len(vals)), vals)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=100))
+    def test_block_mixed_roundtrip_property(self, xs):
+        vals = np.array(xs, dtype=np.uint64)
+        enc = codec.block_encode(vals)
+        assert np.array_equal(codec.block_decode(enc, len(vals)), vals)
