@@ -120,10 +120,16 @@ def main() -> None:
                 SPARK_GRAFT_SF_DIR=SF_DIR,
                 SPARK_GRAFT_BENCH_REPS=reps,
             )
-            p = subprocess.run(
-                [sys.executable, __file__, "--single-build"],
-                capture_output=True, text=True, env=env,
-            )
+            cmd = [sys.executable, __file__, "--single-build"]
+            if shutil.which("taskset"):
+                # pin the WHOLE process tree to exactly `cpus` CPUs: in plain
+                # local[N] the JVM's GC/shuffle/IO helper threads and python
+                # workers spill onto other cores, so "local[1]" silently uses
+                # 2-3 cores and the measured N->4N speedup under-reports the
+                # engine's true scaling.  Pinning makes N cores mean N cores —
+                # the faithful sandbox rendition of an N-executor cluster.
+                cmd = ["taskset", "-c", f"0-{cpus - 1}" if cpus > 1 else "0"] + cmd
+            p = subprocess.run(cmd, capture_output=True, text=True, env=env)
             out[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
         t_lo = out[n_lo]["docs_per_sec"]
         t_hi = out[n_hi]["docs_per_sec"]

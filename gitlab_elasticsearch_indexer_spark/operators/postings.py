@@ -211,11 +211,13 @@ def build_segments(
     cols = ["docid", "dl", F.xxhash64("term").alias("tid")] + (
         ["pos"] if with_positions else []
     )
-    num = occurrences.select(*cols).withColumn(
-        "docid_range", (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
-    )
+    num = occurrences.select(*cols)
+    # partition key (tid, docid>>13) passed as an expression — docid_range is
+    # derivable, so materializing it would add 8 bytes/row of shuffle volume
+    # for nothing (the kernel recomputes it from docid in one numpy op)
+    range_expr = (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
     sort_cols = ["tid", "docid"] + (["pos"] if with_positions else [])
-    part = num.repartition("tid", "docid_range").sortWithinPartitions(*sort_cols)
+    part = num.repartition(F.col("tid"), range_expr).sortWithinPartitions(*sort_cols)
     blocks = part.mapInPandas(
         make_partition_kernel(avgdl, with_positions), schema=_KERNEL_SCHEMA
     )
