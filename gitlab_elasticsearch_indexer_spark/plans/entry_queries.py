@@ -1323,3 +1323,52 @@ def _doc_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("doc_envelope_json", _doc_envelope_json, None)
+
+
+# ===========================================================================
+# S1 snapshot diff: change stream derived from two snapshots
+# ===========================================================================
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic two-snapshot diff (m = doc_id % 7):
+    m=3 only in new → ADDED; m=1 content changed → MODIFIED; m=2 url moved,
+    content identical → RENAMED (content-hash pairing); m=5 only in old →
+    DELETED; others unchanged → absent."""
+    from ..operators.diff import snapshot_diff
+
+    pages = pages_from_documents(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    old = pages.filter(m != 3).select(
+        F.when(m == 2, F.concat(F.col("url"), F.lit(".old")))
+        .otherwise(F.col("url"))
+        .alias("url"),
+        F.encode(
+            F.when(m == 1, F.concat(F.col("text"), F.lit(" legacy"))).otherwise(
+                F.col("text")
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    new = pages.filter(m != 5)
+    delta = snapshot_diff(old, new)
+    return delta.select(
+        F.col("doc_id").cast("long").alias("docid"), "url", "op", "old_url"
+    )
+
+
+register(
+    "snapshot_diff",
+    _snapshot_diff,
+    f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 7 AS m, {_URL_SQL} AS url FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS docid, url, 'ADDED' AS op, CAST(NULL AS VARCHAR) AS old_url
+FROM base WHERE m = 3
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), url, 'MODIFIED', NULL FROM base WHERE m = 1
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), url, 'RENAMED', url || '.old' FROM base WHERE m = 2
+UNION ALL
+SELECT CAST(NULL AS BIGINT), url, 'DELETED', url FROM base WHERE m = 5
+""",
+)

@@ -18,7 +18,12 @@ The pages input is any parquet/Iceberg table with the input_hint schema
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# direct `python jobs/x.py` runs: make the repo root importable (spark-submit
+# deployments pass the package via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

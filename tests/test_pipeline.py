@@ -201,3 +201,34 @@ class TestResume:
         decoded = decode_segments(seg).toPandas().sort_values(["term", "docid"])
         assert c1.n_docs == c2.n_docs
         assert not decoded.duplicated(subset=["term", "docid"]).any()
+
+
+class TestPhraseSearch:
+    def test_phrase_search_api(self, spark, tmp_path):
+        d = str(tmp_path / "pidx")
+        pages = pages_from_documents(spark, SF_SMALL)
+        build_index(spark, pages, d, snapshot="s1", with_positions=True)
+        s = Searcher(spark, d)
+        hits = s.phrase_search("data query", k=10).toPandas()
+        # oracle: bigram containment over the same tokens
+        import re
+
+        docs = (
+            pages.select("doc_id", "text").toPandas()
+        )
+        expect = set()
+        for r in docs.itertuples(index=False):
+            toks = re.findall(r"[a-z0-9]+", r.text.lower())
+            if any(a == "data" and b == "query" for a, b in zip(toks, toks[1:])):
+                expect.add(r.doc_id)
+        assert set(hits["docid"]) <= expect
+        assert len(hits) == min(10, len(expect))
+        # results ranked by BM25 of the phrase terms
+        assert list(hits["score"]) == sorted(hits["score"], reverse=True)
+
+    def test_phrase_requires_positions(self, spark, index_dir):
+        s = Searcher(spark, index_dir)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            s.phrase_search("data query")
