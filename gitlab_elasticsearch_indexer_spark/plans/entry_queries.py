@@ -109,7 +109,13 @@ LIMIT {k}
 # ---------------------------------------------------------------------------
 # index cache: one real index build per (sf_dir, flavor) per process
 # ---------------------------------------------------------------------------
-_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "ges_entry_indexes")
+# version-scoped: a /tmp cache surviving a code update must never serve an
+# old on-disk format (bump __version__ on any format change)
+from .. import __version__ as _pkg_version
+
+_CACHE_ROOT = os.path.join(
+    tempfile.gettempdir(), f"ges_entry_indexes_{_pkg_version}"
+)
 _built: dict[tuple[str, bool], str] = {}
 
 
