@@ -41,6 +41,9 @@ from ..schemas import LINEAGE
 from ..sources import catalog as cat
 
 
+FIELD_SEP = "\x1f"  # namespaces non-default fields' terms (Lucene field:term)
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -51,11 +54,22 @@ def build_index(
     snapshot: str = "s1",
     resume: bool = False,
     docid_col: str = "doc_id",
+    extra_fields: dict[str, str] | None = None,
 ) -> cat.Catalog:
+    """``extra_fields``: additional doc columns to index, column → analyzer —
+    the reference's per-field analyzers (blob.path → path_analyzer,
+    blob.file_name → code_analyzer, elastic/index.go:115-146).  Their terms
+    are namespaced ``<field>\\x1f<token>`` in the shared segments table, with
+    per-field dl/avgdl for correct per-field BM25."""
     t0 = time.time()
+    extra_fields = extra_fields or {}
     docs_src = build_docs(pages, project_id=project_id, docid_col=docid_col).withColumn(
         "dl", F.size(tokens_expr(analyzer)).cast("int")
     )
+    for fld, fld_an in extra_fields.items():
+        docs_src = docs_src.withColumn(
+            f"dl_{fld}", F.size(tokens_expr(fld_an, text_col=fld)).cast("int")
+        )
 
     sd = cat.snapshot_dir(index_dir, snapshot)
 
@@ -80,12 +94,29 @@ def build_index(
         docs.groupBy(
             ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).alias("rng")
         )
-        .agg(F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("n_tokens"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_tokens"),
+            *[
+                F.sum(f"dl_{fld}").cast("long").alias(f"n_tokens_{fld}")
+                for fld in extra_fields
+            ],
+        )
         .collect()
     )
     n_docs = sum(r["n_docs"] for r in range_rows)
     total_tokens = sum(r["n_tokens"] for r in range_rows)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    field_meta = {
+        fld: {
+            "analyzer": fld_an,
+            "dl_col": f"dl_{fld}",
+            "avgdl": (
+                sum(r[f"n_tokens_{fld}"] for r in range_rows) / n_docs if n_docs else 0.0
+            ),
+        }
+        for fld, fld_an in extra_fields.items()
+    }
 
     seg_docs = docs
     if done_ranges:
@@ -99,6 +130,24 @@ def build_index(
         occ = seg_docs.select("docid", "dl", F.posexplode(toks).alias("pos", "term"))
     else:
         occ = seg_docs.select("docid", "dl", F.explode(toks).alias("term"))
+    for fld, fld_an in extra_fields.items():
+        fld_toks = tokens_expr(fld_an, text_col=fld)
+        if with_positions:
+            fld_occ = seg_docs.select(
+                "docid",
+                F.col(f"dl_{fld}").alias("dl"),
+                F.posexplode(fld_toks).alias("pos", "raw_term"),
+            )
+        else:
+            fld_occ = seg_docs.select(
+                "docid",
+                F.col(f"dl_{fld}").alias("dl"),
+                F.explode(fld_toks).alias("raw_term"),
+            )
+        fld_occ = fld_occ.withColumn(
+            "term", F.concat(F.lit(fld + FIELD_SEP), F.col("raw_term"))
+        ).drop("raw_term")
+        occ = occ.unionByName(fld_occ.select(*occ.columns))
     segments = build_segments(occ, avgdl=avgdl, with_positions=with_positions)
     mode = "append" if done_ranges else "overwrite"
     # cluster block rows by bucket first: without this every write task emits
@@ -137,6 +186,7 @@ def build_index(
         n_term_buckets=N_TERM_BUCKETS,
         snapshot=snapshot,
         with_positions=with_positions,
+        fields=field_meta or None,
     )
     cat.write_catalog(index_dir, catalog)
     cat.commit_snapshot(index_dir, snapshot)

@@ -1378,3 +1378,94 @@ UNION ALL
 SELECT CAST(NULL AS BIGINT), url, 'DELETED', url FROM base WHERE m = 5
 """,
 )
+
+
+# ===========================================================================
+# Multi-field index: per-field analyzers (blob.path → path_analyzer,
+# blob.file_name → code_analyzer; elastic/index.go:115-146)
+# ===========================================================================
+_mf_cache: dict[str, str] = {}
+
+
+def _multifield_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = os.path.abspath(sf_dir)
+    if key not in _mf_cache:
+        index_dir = os.path.join(_CACHE_ROOT, "mf_" + key.strip("/").replace("/", "_"))
+        try:
+            c = cat.read_catalog(index_dir)
+            assert c.fields and "url" in c.fields
+        except Exception:
+            pages = pages_from_documents(spark, sf_dir)
+            build_index(
+                spark,
+                pages,
+                index_dir,
+                analyzer="simple",
+                snapshot="s1",
+                extra_fields={"url": "path", "file_name": "code"},
+            )
+        _mf_cache[key] = index_dir
+    return Searcher(spark, _mf_cache[key])
+
+
+def _ft_field_path_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the reversed-path-hierarchy field (path_analyzer): querying
+    a basename matches via the suffix token, scored with the FIELD's own
+    dl/avgdl/df stats."""
+    s = _multifield_searcher(spark, sf_dir)
+    hits = s.search("doc12.html", k=55, mode="exhaustive", field="url", with_docs=False)
+    return (
+        hits.select("docid", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(5)
+    )
+
+
+register(
+    "ft_field_path_search",
+    _ft_field_path_search,
+    f"""
+WITH toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(parts)),
+                  i -> array_to_string(list_slice(parts, i, len(parts)), '/'))) AS term
+    FROM (SELECT doc_id, str_split(lower({_URL_SQL}), '/') AS parts FROM documents)
+  )
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(c.dl, 0) AS INT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) c USING (doc_id)
+),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS docid,
+         sum( ln(1 + (consts.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / consts.avgdl)) ) AS raw
+  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN consts
+  WHERE tf.term = 'doc12.html'
+  GROUP BY tf.doc_id
+)
+SELECT docid, round(raw, 4) AS score FROM scored
+ORDER BY round(raw, 4) DESC, docid ASC LIMIT 5
+""",
+)
+
+
+def _ft_field_code_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """code_analyzer field search (whitespace + word_delimiter_graph +
+    edge_ngram): prefix query 'doc12' matches file_name 'doc12*.html' via
+    edge-grams.  No tractable SQL twin (graph analyzer) → rows-only."""
+    s = _multifield_searcher(spark, sf_dir)
+    return s.search("doc12", k=10, field="file_name", with_docs=False).select(
+        "docid", F.round("score", 4).alias("score")
+    )
+
+
+register("ft_field_code_search", _ft_field_code_search, None)

