@@ -64,9 +64,12 @@ def search_exhaustive(
     k: int | None,
     avgdl: float,
     doc_filter: Column | None = None,
+    require_all: bool = False,
 ) -> DataFrame:
     """→ (docid, score) top-k, tie-break (score desc, docid asc).
-    ``k=None`` scores everything (no TakeOrdered truncation)."""
+    ``k=None`` scores everything (no TakeOrdered truncation).
+    ``require_all``: conjunctive match-query semantics (ES
+    ``operator: and``) — only docs containing every query term score."""
     spark = segments.sparkSession
     if not query_terms:
         return spark.createDataFrame([], "docid long, score double")
@@ -82,11 +85,18 @@ def search_exhaustive(
         .join(doc_side, "docid")
         .select(
             "docid",
+            "term",
             bm25_score_col(F.col("tf"), F.col("dl"), F.col("idf"), avgdl).alias("s"),
         )
         .groupBy("docid")
-        .agg(F.sum("s").alias("score"))
+        .agg(
+            F.sum("s").alias("score"),
+            F.countDistinct("term").alias("n_matched"),
+        )
     )
+    if require_all:
+        scored = scored.filter(F.col("n_matched") == len(set(query_terms)))
+    scored = scored.drop("n_matched")
     ranked = scored.orderBy(F.desc("score"), F.asc("docid"))
     return ranked if k is None else ranked.limit(k)
 

@@ -1469,3 +1469,39 @@ def _ft_field_code_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ft_field_code_search", _ft_field_code_search, None)
+
+
+# --- ft_bm25_and: conjunctive match query (ES operator:and, Q2 variant) ----
+def _ft_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    hits = s.search(
+        "spark data query", k=60, mode="exhaustive", operator="and", with_docs=False
+    )
+    return (
+        hits.select("docid", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
+register(
+    "ft_bm25_and",
+    _ft_bm25_and,
+    f"""
+WITH {TOKS_CTE}, {TF_CTE}, {DL_CTE}, {CONSTS_CTE},
+qterms AS (SELECT unnest(['spark', 'data', 'query']) AS term),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS docid,
+         sum( ln(1 + (consts.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / consts.avgdl)) ) AS raw,
+         count(DISTINCT tf.term) AS n_matched
+  FROM tf JOIN qterms USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN consts
+  GROUP BY tf.doc_id
+)
+SELECT docid, round(raw, 4) AS score FROM scored
+WHERE n_matched = 3
+ORDER BY round(raw, 4) DESC, docid ASC LIMIT 10
+""",
+)

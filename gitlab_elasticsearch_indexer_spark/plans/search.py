@@ -54,12 +54,25 @@ class Searcher:
         doc_filter: Column | None = None,
         with_docs: bool = True,
         field: str = "content",
+        operator: str = "or",
     ) -> DataFrame:
+        """``operator``: 'or' (ES match default) or 'and' (every term must
+        match; conjunctive queries run on the exhaustive scorer)."""
         _, _, avgdl, dl_col = self._field_conf(field)
         terms = self.query_terms(query, field)
         docs_side = self.docs
         if dl_col != "dl":
             docs_side = docs_side.withColumn("dl", F.col(dl_col))
+        if operator == "and":
+            hits = search_exhaustive(
+                self.segments, self.term_stats, docs_side, terms, k, avgdl,
+                doc_filter, require_all=True,
+            )
+            if not with_docs:
+                return hits
+            return hits.join(
+                self.docs.select("docid", "url", "lang"), "docid", "left"
+            ).orderBy(F.desc("score"), F.asc("docid"))
         if mode == "exhaustive":
             hits = search_exhaustive(
                 self.segments,

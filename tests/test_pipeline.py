@@ -263,3 +263,19 @@ class TestMultiField:
         s = Searcher(spark, index_dir)
         with pytest.raises(ValueError):
             s.search("x", field="nope")
+
+
+class TestAndOperator:
+    def test_and_requires_all_terms(self, spark, index_dir, oracle_docs):
+        s = Searcher(spark, index_dir)
+        got = s.search("spark customer window", k=1000, operator="and", with_docs=False).toPandas()
+        full = pd.concat([oracle_docs, _specials_pdf(spark)], ignore_index=True)
+        expect = set()
+        for r in full.itertuples(index=False):
+            toks = set(simple_tokens(r.content))
+            if {"spark", "customer", "window"} <= toks:
+                expect.add(r.docid)
+        assert set(got["docid"]) == expect
+        # absent term -> empty under AND, non-empty under OR
+        assert s.search("table zzznope", operator="and", with_docs=False).count() == 0
+        assert s.search("table zzznope", with_docs=False).count() > 0
