@@ -28,6 +28,8 @@ the remainder.
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +57,8 @@ def build_index(
     resume: bool = False,
     docid_col: str = "doc_id",
     extra_fields: dict[str, str] | None = None,
+    range_batches: int = 1,
+    _fail_after_batches: int | None = None,
 ) -> cat.Catalog:
     """``extra_fields``: additional doc columns to index, column → analyzer —
     the reference's per-field analyzers (blob.path → path_analyzer,
@@ -118,44 +122,104 @@ def build_index(
         for fld, fld_an in extra_fields.items()
     }
 
-    seg_docs = docs
-    if done_ranges:
-        seg_docs = docs.filter(
-            ~((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).isin(
-                list(done_ranges)
-            )
-        )
-    toks = tokens_expr(analyzer)
-    if with_positions:
-        occ = seg_docs.select("docid", "dl", F.posexplode(toks).alias("pos", "term"))
-    else:
-        occ = seg_docs.select("docid", "dl", F.explode(toks).alias("term"))
-    for fld, fld_an in extra_fields.items():
-        fld_toks = tokens_expr(fld_an, text_col=fld)
+    def occurrences_for(batch_docs: DataFrame) -> DataFrame:
+        toks = tokens_expr(analyzer)
         if with_positions:
-            fld_occ = seg_docs.select(
-                "docid",
-                F.col(f"dl_{fld}").alias("dl"),
-                F.posexplode(fld_toks).alias("pos", "raw_term"),
+            occ = batch_docs.select(
+                "docid", "dl", F.posexplode(toks).alias("pos", "term")
             )
         else:
-            fld_occ = seg_docs.select(
-                "docid",
-                F.col(f"dl_{fld}").alias("dl"),
-                F.explode(fld_toks).alias("raw_term"),
+            occ = batch_docs.select("docid", "dl", F.explode(toks).alias("term"))
+        for fld, fld_an in extra_fields.items():
+            fld_toks = tokens_expr(fld_an, text_col=fld)
+            if with_positions:
+                fld_occ = batch_docs.select(
+                    "docid",
+                    F.col(f"dl_{fld}").alias("dl"),
+                    F.posexplode(fld_toks).alias("pos", "raw_term"),
+                )
+            else:
+                fld_occ = batch_docs.select(
+                    "docid",
+                    F.col(f"dl_{fld}").alias("dl"),
+                    F.explode(fld_toks).alias("raw_term"),
+                )
+            fld_occ = fld_occ.withColumn(
+                "term", F.concat(F.lit(fld + FIELD_SEP), F.col("raw_term"))
+            ).drop("raw_term")
+            occ = occ.unionByName(fld_occ.select(*occ.columns))
+        return occ
+
+    # Checkpointed, batched segment build (north rule O1/O7): pending
+    # docid_ranges are processed in ``range_batches`` sequential commits,
+    # each appending its segment rows and then its lineage "done" rows —
+    # so a crash resumes at batch granularity with resume=True.  The
+    # snapshot pointer flips only after everything, so readers never see a
+    # partial index either way.
+    all_ranges = sorted(int(r["rng"]) for r in range_rows)
+    pending = [r for r in all_ranges if r not in done_ranges]
+
+    if resume and done_ranges and pending and os.path.exists(f"{sd}/segments"):
+        # A crash can land between a batch's segment append and its lineage
+        # mark; blindly re-appending would duplicate that batch's postings.
+        # Truth is the lineage: compact segments down to lineage-confirmed
+        # ranges before resuming.  (On Iceberg this whole step is a
+        # metadata-only DELETE WHERE docid_range NOT IN done.)
+        keep = spark.read.parquet(f"{sd}/segments").filter(
+            F.col("docid_range").isin([int(r) for r in done_ranges])
+        )
+        keep.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{sd}/segments_compact"
+        )
+        shutil.rmtree(f"{sd}/segments")
+        os.rename(f"{sd}/segments_compact", f"{sd}/segments")
+    n_batches = max(1, min(range_batches, len(pending) or 1))
+    per = -(-len(pending) // n_batches) if pending else 0
+    batches = [pending[i : i + per] for i in range(0, len(pending), per)] if per else []
+    range_expr = (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
+    row_by_rng = {int(r["rng"]): r for r in range_rows}
+
+    for i, batch in enumerate(batches):
+        batch_docs = docs.filter(range_expr.isin(batch)) if (
+            done_ranges or len(batches) > 1
+        ) else docs
+        segments = build_segments(
+            occurrences_for(batch_docs), avgdl=avgdl, with_positions=with_positions
+        )
+        mode = "append" if (done_ranges or i > 0) else "overwrite"
+        # cluster block rows by bucket first: without this every write task
+        # emits a file per bucket directory (tasks × 64 small files) and the
+        # driver's serial commit/rename phase dominates small-core runs
+        segments.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
+            f"{sd}/segments"
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        lineage = spark.createDataFrame(
+            [
+                (
+                    str(rng),
+                    None,
+                    snapshot,
+                    row_by_rng[rng]["n_docs"],
+                    row_by_rng[rng]["n_tokens"],
+                    "done",
+                    wall_ms,
+                )
+                for rng in batch
+            ],
+            LINEAGE,
+        )
+        lineage.coalesce(1).write.mode(
+            "append" if (done_ranges or i > 0) else "overwrite"
+        ).parquet(f"{sd}/lineage")
+        if _fail_after_batches is not None and i + 1 >= _fail_after_batches:
+            raise RuntimeError(
+                f"injected failure after batch {i + 1}/{len(batches)} (test hook)"
             )
-        fld_occ = fld_occ.withColumn(
-            "term", F.concat(F.lit(fld + FIELD_SEP), F.col("raw_term"))
-        ).drop("raw_term")
-        occ = occ.unionByName(fld_occ.select(*occ.columns))
-    segments = build_segments(occ, avgdl=avgdl, with_positions=with_positions)
-    mode = "append" if done_ranges else "overwrite"
-    # cluster block rows by bucket first: without this every write task emits
-    # a file per bucket directory (tasks × 64 small files) and the driver's
-    # serial commit/rename phase dominates small-core runs
-    segments.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
-        f"{sd}/segments"
-    )
+    if not batches and not done_ranges:
+        spark.createDataFrame(
+            [("-", None, snapshot, 0, 0, "done", 0)], LINEAGE
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sd}/lineage")
 
     # term stats from block METADATA of the freshly written table — the scan
     # prunes the posting-bytes columns entirely (ReadSchema: term,n_docs,sum_tf)
@@ -163,19 +227,6 @@ def build_index(
     term_stats_from_segments(seg_read, n_docs).write.mode("overwrite").parquet(
         f"{sd}/term_stats"
     )
-
-    # Lineage: per-docid_range doc/token counts + status (resume anchor) —
-    # rows already aggregated above, written driver-side (range count is tiny).
-    wall_ms = int((time.time() - t0) * 1000)
-    lineage = spark.createDataFrame(
-        [
-            (str(r["rng"]), None, snapshot, r["n_docs"], r["n_tokens"], "done", wall_ms)
-            for r in range_rows
-        ]
-        or [("-", None, snapshot, 0, 0, "done", wall_ms)],
-        LINEAGE,
-    )
-    lineage.coalesce(1).write.mode("overwrite").parquet(f"{sd}/lineage")
 
     catalog = cat.Catalog(
         n_docs=n_docs,

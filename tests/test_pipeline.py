@@ -279,3 +279,38 @@ class TestAndOperator:
         # absent term -> empty under AND, non-empty under OR
         assert s.search("table zzznope", operator="and", with_docs=False).count() == 0
         assert s.search("table zzznope", with_docs=False).count() > 0
+
+
+class TestCheckpointedResume:
+    def test_crash_and_resume_matches_fresh_build(self, spark, tmp_path):
+        """North-rule O1/O7: batched build crashes mid-corpus; resume
+        completes from lineage; results identical to an uninterrupted build."""
+        # spread docids so each doc is its own docid_range (500 ranges)
+        pages = pages_from_documents(spark, SF_SMALL).withColumn(
+            "doc_id", F.col("doc_id") * 8192
+        )
+        d_crash = str(tmp_path / "crash_idx")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            build_index(
+                spark, pages, d_crash, snapshot="s1",
+                range_batches=4, _fail_after_batches=2,
+            )
+        # snapshot must NOT be committed (commit barrier)
+        assert not os.path.exists(os.path.join(d_crash, "current"))
+        # resume completes
+        build_index(spark, pages, d_crash, snapshot="s1", range_batches=4, resume=True)
+
+        d_fresh = str(tmp_path / "fresh_idx")
+        build_index(spark, pages, d_fresh, snapshot="s1")
+
+        s1 = Searcher(spark, d_crash)
+        s2 = Searcher(spark, d_fresh)
+        for q in ["spark data query", "table", "customer merge"]:
+            a = s1.search(q, k=25, with_docs=False).toPandas()
+            b = s2.search(q, k=25, with_docs=False).toPandas()
+            assert a["docid"].tolist() == b["docid"].tolist(), q
+            assert a["score"].tolist() == pytest.approx(b["score"].tolist(), rel=1e-12)
+        # no duplicated postings after resume
+        seg = cat.read_table(spark, d_crash, "segments")
+        dec = decode_segments(seg).toPandas()
+        assert not dec.duplicated(subset=["term", "docid"]).any()
