@@ -98,3 +98,60 @@ def label_centroids(
         .groupBy("label", "dim")
         .agg(F.round(F.avg("v"), 4).alias("centroid"))
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a seeded KMeans coarse
+    quantizer assigns every vector to a cell; the query scans only its
+    ``n_probe`` nearest cells' members with exact cosine.
+
+    Scale path: cells are the partition key of the stored vector table, so
+    a query prunes to n_probe/n_clusters of the corpus (the embedding-side
+    analog of the term-bucket routing).  Training samples at most ~100k
+    vectors (KMeans is iterative; the quantizer does not need the corpus).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    F_ = F
+    feat = emb.select(
+        F_.col(id_col).cast("long").alias("vec_id"),
+        F_.col(vec_col).alias("arr"),
+        array_to_vector(F_.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    train = feat.limit(100_000)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
+
+    q_row = assigned.filter(F_.col("vec_id") == query_vec_id).select("arr").head()
+    if q_row is None:
+        raise ValueError(f"query vector {query_vec_id} not found")
+    import numpy as np
+
+    qvec = np.asarray(q_row["arr"], dtype=np.float64)
+    centers = model.clusterCenters()
+    d2 = [float(((np.asarray(c) - qvec) ** 2).sum()) for c in centers]
+    probe_cells = [int(i) for i in np.argsort(d2)[:n_probe]]
+
+    spark = emb.sparkSession
+    q_df = spark.createDataFrame(
+        [(qvec.tolist(),)], "qvec array<double>"
+    )
+    sim = F_.round(cosine_col(F_.col("arr"), F_.col("qvec")), 4).alias("cosine")
+    return (
+        assigned.filter(F_.col("cell").isin(probe_cells))
+        .filter(F_.col("vec_id") != query_vec_id)
+        .crossJoin(F_.broadcast(q_df))
+        .select("vec_id", sim)
+        .orderBy(F_.desc("cosine"), F_.asc("vec_id"))
+        .limit(k)
+    )

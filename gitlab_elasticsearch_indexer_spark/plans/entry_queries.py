@@ -1505,3 +1505,15 @@ WHERE n_matched = 3
 ORDER BY round(raw, 4) DESC, docid ASC LIMIT 10
 """,
 )
+
+
+# --- ann_ivf_topk: KMeans coarse quantizer + probe-limited exact cosine ----
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (rows-only: KMeans has no SQL
+    twin); full-probe degradation to exact search is pytest-verified."""
+    from ..operators.ann import ivf_topk
+
+    return ivf_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=10)
+
+
+register("ann_ivf_topk", _ann_ivf, None)
