@@ -105,18 +105,14 @@ def varint_encode(values: np.ndarray) -> bytes:
     values = np.asarray(values, dtype=np.uint64)
     if values.size == 0:
         return b""
-    # bytes needed per value: ceil(bit_length/7), min 1
-    nbits = np.zeros(values.shape, dtype=np.int64)
-    nz = values > 0
-    # bit_length via log2 is unsafe at 2^k boundaries; use frexp-free loop over
-    # the 10 possible byte widths instead (still vectorized).
+    # bytes needed per value: ceil(bit_length/7), min 1 — computed by a
+    # vectorized shift loop (≤10 iterations for uint64)
     widths = np.ones(values.shape, dtype=np.int64)
     v = values.copy()
     v >>= np.uint64(7)
     while np.any(v > 0):
         widths += (v > 0).astype(np.int64)
         v >>= np.uint64(7)
-    del nbits, nz
     offsets = np.concatenate(([0], np.cumsum(widths)))
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     shifted = values.copy()

@@ -70,9 +70,20 @@ def detect_binary_series(blobs: pd.Series) -> pd.Series:
 
 
 def try_encode_series(blobs: pd.Series) -> pd.Series:
-    """Series[bytes] -> Series[str] UTF-8 text.  Fast path: one vectorized
-    strict-UTF-8 attempt per batch; per-row detection only for failures."""
-    out = []
-    for data in blobs:
-        out.append(try_encode_bytes(data))
+    """Series[bytes] -> Series[str] UTF-8 text.  Fast path: ONE vectorized
+    strict-UTF-8 validation over the whole Arrow batch (C-speed
+    binary→string cast); the per-row detection chain runs only for batches
+    that actually contain non-UTF-8 rows — i.e. almost never on a real
+    webtext corpus."""
+    import pyarrow as pa
+
+    try:
+        arr = pa.array(blobs, type=pa.binary())
+        utf8 = arr.cast(pa.string())  # validates UTF-8 for the entire batch
+        s = utf8.to_pandas()
+        s.index = blobs.index
+        return s.fillna("").astype(object)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        pass
+    out = [try_encode_bytes(data) for data in blobs]
     return pd.Series(out, index=blobs.index, dtype=object)

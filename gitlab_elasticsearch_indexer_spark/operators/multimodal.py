@@ -76,20 +76,30 @@ def extract_features(
 ) -> DataFrame:
     """binary → feature vector via mapInPandas (the real plumbing around the
     stubbed decode).  Yields in sub-batches so huge media rows don't pin one
-    giant Arrow batch in memory."""
+    giant Arrow batch in memory.
+
+    Output is EXPLODED ``(docid, dim, value)`` — one row per feature
+    dimension, value rounded to 6 dp — so downstream comparators (and the
+    driver's canonicalizer) see scalar columns, not nested arrays."""
 
     def run(batches):
         for pdf in batches:
             for start in range(0, len(pdf), batch_size_hint):
                 chunk = pdf.iloc[start : start + batch_size_hint]
-                feats = [decode_image_stub(b, fake=True) for b in chunk[bin_col]]
+                feats = np.stack(
+                    [decode_image_stub(b, fake=True) for b in chunk[bin_col]]
+                ) if len(chunk) else np.empty((0, FEATURE_DIM))
+                docids = chunk[id_col].astype("int64").to_numpy()
                 yield pd.DataFrame(
                     {
-                        "docid": chunk[id_col].astype("int64").to_numpy(),
-                        "features": [f.tolist() for f in feats],
+                        "docid": np.repeat(docids, FEATURE_DIM),
+                        "dim": np.tile(
+                            np.arange(FEATURE_DIM, dtype=np.int32), len(chunk)
+                        ),
+                        "value": np.round(feats.ravel(), 6),
                     }
                 )
 
     return df.select(id_col, bin_col).mapInPandas(
-        run, schema="docid long, features array<double>"
+        run, schema="docid long, dim int, value double"
     )

@@ -36,6 +36,14 @@ def analyze_query(query: str, analyzer: str) -> list[str]:
     return list(seen)
 
 
+def analyze_query_seq(query: str, analyzer: str) -> list[str]:
+    """Phrase-query semantics: the raw analyzed token SEQUENCE, order and
+    duplicates preserved — a phrase like "data data" must verify two
+    adjacent occurrences, which the deduplicated match-query term list
+    cannot express."""
+    return list(ANALYZERS[analyzer](query))
+
+
 def bm25_score_col(tf: Column, dl: Column, idf: Column, avgdl: float) -> Column:
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
     tf_d = tf.cast("double")
@@ -106,11 +114,16 @@ def phrase_filter_docids(
     phrase_terms: list[str],
 ) -> DataFrame:
     """Positions-based phrase matching (index_options=positions, §1.4):
-    returns docids where the terms appear at consecutive positions.
+    returns docids where the phrase-term SEQUENCE (order and duplicates
+    preserved) appears at consecutive positions.
 
-    Decodes positions from the segments' optional payload and checks
-    adjacency with a numpy intersection per doc — vectorized, no per-row
-    Python."""
+    Distributed shape: segments group by ``docid_range`` — the same
+    bounded-salt unit the block-max scorer parallelizes over — so a phrase
+    on two Zipf head terms fans out as n_docs/DOCS_PER_RANGE independent
+    tasks instead of funnelling every posting through one partition.
+    Within a range the kernel first intersects docid sets per distinct term
+    (numpy), then checks positional adjacency only for the surviving
+    candidates."""
     import numpy as np
     import pandas as pd
 
@@ -120,41 +133,50 @@ def phrase_filter_docids(
     n = len(phrase_terms)
     if n == 0:
         return segments.sparkSession.createDataFrame([], "docid long")
-    seg = filter_segments_for_terms(segments, list(dict.fromkeys(phrase_terms)))
+    distinct_terms = list(dict.fromkeys(phrase_terms))
+    seg = filter_segments_for_terms(segments, distinct_terms)
 
-    order = {t: i for i, t in enumerate(dict.fromkeys(phrase_terms))}
-
-    def check(batches):
-        # gather (docid, term_pos_offset, positions) then verify adjacency
-        per_doc: dict[int, dict[str, np.ndarray]] = {}
-        for pdf in batches:
-            for r in pdf.itertuples(index=False):
-                base = r.docid_range * DOCS_PER_RANGE
-                docids = codec.decode_docids(r.docids_enc, base=base, count=r.n_docs)
-                poss = codec.decode_positions(r.positions_enc, r.n_docs)
-                for d, p in zip(docids, poss):
-                    per_doc.setdefault(int(d), {})[r.term] = p
+    def check_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": pd.Series([], dtype="int64")})
+        if len(pdf) == 0:
+            return empty
+        by_term: dict[str, list] = {}
+        for r in pdf.itertuples(index=False):
+            base = int(r.docid_range) * DOCS_PER_RANGE
+            d = codec.decode_docids(r.docids_enc, base=base, count=r.n_docs)
+            p = codec.decode_positions(r.positions_enc, r.n_docs)
+            by_term.setdefault(r.term, []).append((d, p))
+        if len(by_term) < len(distinct_terms):
+            return empty  # some phrase term absent from this range entirely
+        # candidate docids: set-intersection across distinct terms (numpy)
+        cand = None
+        for t in distinct_terms:
+            docs_t = np.concatenate([c[0] for c in by_term[t]])
+            cand = docs_t if cand is None else np.intersect1d(cand, docs_t)
+            if cand.size == 0:
+                return empty
+        cand_set = set(int(x) for x in cand)
+        pos_map: dict[str, dict[int, np.ndarray]] = {t: {} for t in by_term}
+        for t, chunks in by_term.items():
+            m = pos_map[t]
+            for dd, pp in chunks:
+                for i_, d in enumerate(dd):
+                    di = int(d)
+                    if di in cand_set:
+                        m[di] = pp[i_]
         hits = []
-        for d, terms_pos in per_doc.items():
-            if len(terms_pos) < len(order):
-                continue
-            # positions of term_i shifted by -offset_i must intersect
+        for d in sorted(cand_set):
+            # positions of the i-th phrase token shifted by -i must intersect
             inter = None
             ok = True
             for idx, t in enumerate(phrase_terms):
-                if t not in terms_pos:
-                    ok = False
-                    break
-                shifted = terms_pos[t] - idx
+                shifted = pos_map[t][d] - idx
                 inter = shifted if inter is None else np.intersect1d(inter, shifted)
                 if inter.size == 0:
                     ok = False
                     break
-            if ok and inter is not None and inter.size > 0:
+            if ok:
                 hits.append(d)
-        yield pd.DataFrame({"docid": sorted(hits)}, dtype="int64")
+        return pd.DataFrame({"docid": pd.Series(hits, dtype="int64")})
 
-    # single-partition gather: phrase postings for a handful of terms are
-    # small relative to corpus; at cluster scale this would cogroup by
-    # docid_range like wand.py does.
-    return seg.coalesce(1).mapInPandas(check, schema="docid long")
+    return seg.groupBy("docid_range").applyInPandas(check_range, schema="docid long")

@@ -1042,8 +1042,13 @@ FROM documents
 
 
 # ===========================================================================
-# Engine-only entries (no SQL oracle → driver runs rows-only checks)
+# Multimodal + streaming entries (oracle-verified: the binary payload here is
+# the UTF-8 page bytes, so DuckDB reproduces the sha256-based fake features
+# and the magic-byte sniff exactly)
 # ===========================================================================
+_MAGIC_SQL = "substring(hex(encode(text)), 1, 8)"
+
+
 def _mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import media_metadata
 
@@ -1051,17 +1056,49 @@ def _mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(pages, id_col="doc_id", bin_col="html")
 
 
-register("multimodal_metadata", _mm_metadata, None)
+register(
+    "multimodal_metadata",
+    _mm_metadata,
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {_MAGIC_SQL} AS magic_hex,
+       CASE WHEN {_MAGIC_SQL} LIKE '89504E47%' THEN 'image/png'
+            WHEN {_MAGIC_SQL} LIKE 'FFD8FF%' THEN 'image/jpeg'
+            WHEN {_MAGIC_SQL} LIKE '47494638%' THEN 'image/gif'
+            ELSE 'application/octet-stream' END AS content_type
+FROM documents
+""",
+)
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_features
 
-    pages = pages_from_documents(spark, sf_dir).limit(50)
+    # deterministic subset (limit() is partition-order-dependent; a filter
+    # is not)
+    pages = pages_from_documents(spark, sf_dir).filter(F.col("doc_id") < 50)
     return extract_features(pages, id_col="doc_id", bin_col="html")
 
 
-register("multimodal_features", _mm_features, None)
+# uint32 little-endian words of sha256(page bytes) / 2^32 — the deterministic
+# fake the decode stub emits (operators/multimodal.py:decode_image_stub)
+_SHA_WORD_SQL = (
+    "('0x' || substring(sha256(text), i*8+7, 2) || substring(sha256(text), i*8+5, 2)"
+    " || substring(sha256(text), i*8+3, 2) || substring(sha256(text), i*8+1, 2))::BIGINT"
+)
+
+register(
+    "multimodal_features",
+    _mm_features,
+    f"""
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       CAST(i AS INT) AS dim,
+       round(({_SHA_WORD_SQL})::DOUBLE / 4294967296.0, 6) AS value
+FROM documents, unnest(generate_series(0, 7)) AS t(i)
+WHERE doc_id < 50
+""",
+)
 
 
 def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1070,7 +1107,19 @@ def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_batch_equivalent(spark, f"{sf_dir}/events.parquet")
 
 
-register("stream_windowed", _stream_windowed, None)
+# the streaming windowed agg is the batch events_windowed computed through
+# Structured Streaming — same result table, same oracle
+register(
+    "stream_windowed",
+    _stream_windowed,
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
 
 
 def _code_analyzer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

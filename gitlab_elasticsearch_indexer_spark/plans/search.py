@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.search import analyze_query, phrase_filter_docids, search_exhaustive
+from ..operators.search import (
+    analyze_query,
+    analyze_query_seq,
+    phrase_filter_docids,
+    search_exhaustive,
+)
 from ..operators.wand import search_blockmax
 from ..sources import catalog as cat
 
@@ -105,8 +110,14 @@ class Searcher:
         """Positions-based phrase query (requires with_positions index)."""
         if not self.catalog.with_positions:
             raise ValueError("index was built without positions")
+        # adjacency check needs the raw token SEQUENCE (duplicates kept:
+        # "data data" must match two adjacent occurrences); BM25 scoring
+        # uses the deduplicated match-query term list
+        term_seq = [
+            t for t in analyze_query_seq(phrase, self.catalog.analyzer)
+        ]
         terms = self.query_terms(phrase)
-        docids = phrase_filter_docids(self.segments, terms)
+        docids = phrase_filter_docids(self.segments, term_seq)
         scored = search_exhaustive(
             self.segments,
             self.term_stats,

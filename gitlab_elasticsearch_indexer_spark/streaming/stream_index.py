@@ -39,7 +39,20 @@ def stream_apply_deltas(
     def handle(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_delta(spark, index_dir, batch_df, new_snapshot=f"{snapshot_prefix}_{epoch}")
+        target = f"{snapshot_prefix}_{epoch}"
+        # Replay idempotence: if a crash landed between the snapshot pointer
+        # flip and the streaming checkpoint commit, the micro-batch re-runs
+        # with the target snapshot already current.  Re-applying would read
+        # and overwrite the same directory (which Spark rejects) — the
+        # epoch's work is already durable, so it is a no-op.
+        from ..sources import catalog as cat
+
+        try:
+            if cat.current_snapshot(index_dir) == target:
+                return
+        except FileNotFoundError:
+            pass
+        apply_delta(spark, index_dir, batch_df, new_snapshot=target)
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -226,6 +226,38 @@ class TestPhraseSearch:
         # results ranked by BM25 of the phrase terms
         assert list(hits["score"]) == sorted(hits["score"], reverse=True)
 
+    def test_phrase_with_repeated_term(self, spark, tmp_path):
+        """A phrase like "value value" must verify two ADJACENT occurrences —
+        the deduplicated match-query term list would accept any doc
+        containing 'value' once (round-1 advice regression)."""
+        import pandas as pd
+
+        d = str(tmp_path / "dupidx")
+        pdf = pd.DataFrame(
+            {
+                "url": [f"https://example.com/d{i}.txt" for i in range(4)],
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": [
+                    b"value value apart",      # adjacent pair -> match
+                    b"value one value",        # non-adjacent -> no match
+                    b"value",                  # single occurrence -> no match
+                    b"x value value value y",  # two adjacent pairs -> match
+                ],
+                "text": ["", "", "", ""],
+                "lang": "en",
+                "doc_id": [0, 1, 2, 3],
+            }
+        )
+        from gitlab_elasticsearch_indexer_spark.schemas import PAGES
+        import pyspark.sql.types as T
+
+        schema = T.StructType(list(PAGES.fields) + [T.StructField("doc_id", T.LongType())])
+        pages = spark.createDataFrame(pdf, schema)
+        build_index(spark, pages, d, snapshot="s1", with_positions=True)
+        s = Searcher(spark, d)
+        hits = s.phrase_search("value value", k=10).toPandas()
+        assert set(hits["docid"]) == {0, 3}
+
     def test_phrase_requires_positions(self, spark, index_dir):
         s = Searcher(spark, index_dir)
         import pytest as _pytest

@@ -110,6 +110,33 @@ def main() -> None:
         )
     )
 
+    from gitlab_elasticsearch_indexer_spark.operators.search import (
+        phrase_filter_docids,
+    )
+
+    pidx = index_dir + "_pos"
+    if not os.path.exists(os.path.join(pidx, "current")):
+        build_index(
+            spark, pages_from_documents(spark, sf), pidx,
+            snapshot="s1", with_positions=True,
+        )
+    seg_pos = cat.read_table(spark, pidx, "segments")
+    phrase_plan = formatted(phrase_filter_docids(seg_pos, ["data", "query"]))
+    assert "Coalesce 1" not in phrase_plan and "SinglePartition" not in phrase_plan, (
+        "phrase path must stay distributed (no single-partition stage)"
+    )
+    sections.append(
+        (
+            "phrase match (positions adjacency, distributed)",
+            "Audit: Exchange hashpartitioning(docid_range) — the phrase "
+            "kernel fans out over the same bounded-salt ranges as the "
+            "block-max scorer; NO Coalesce(1)/SinglePartition anywhere "
+            "(asserted by this script); bucket PartitionFilters + term "
+            "PushedFilters still reach the scan.",
+            phrase_plan,
+        )
+    )
+
     out = ["# EXPLAIN audit — physical plans of the hot paths\n"]
     out.append(
         "Generated by tools/explain_audit.py (sf0.001 index). Each section "
