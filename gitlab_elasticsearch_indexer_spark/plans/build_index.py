@@ -46,6 +46,46 @@ from ..sources import catalog as cat
 FIELD_SEP = "\x1f"  # namespaces non-default fields' terms (Lucene field:term)
 
 
+def field_occurrences(
+    docs: DataFrame,
+    analyzer: str,
+    with_positions: bool = False,
+    extra_fields: dict[str, str] | None = None,
+) -> DataFrame:
+    """docs (with dl + dl_<field> columns) → token occurrences
+    (docid, dl, term [, pos]) for the content field plus every extra field,
+    extra-field terms namespaced ``<field>\\x1f<token>``.
+
+    Shared by the full build and incremental range rebuilds so both produce
+    byte-identical segments for the same doc set (a rebuild that dropped
+    positions or field occurrences would corrupt the index contract)."""
+    extra_fields = extra_fields or {}
+    toks = tokens_expr(analyzer)
+    if with_positions:
+        occ = docs.select("docid", "dl", F.posexplode(toks).alias("pos", "term"))
+    else:
+        occ = docs.select("docid", "dl", F.explode(toks).alias("term"))
+    for fld, fld_an in extra_fields.items():
+        fld_toks = tokens_expr(fld_an, text_col=fld)
+        if with_positions:
+            fld_occ = docs.select(
+                "docid",
+                F.col(f"dl_{fld}").alias("dl"),
+                F.posexplode(fld_toks).alias("pos", "raw_term"),
+            )
+        else:
+            fld_occ = docs.select(
+                "docid",
+                F.col(f"dl_{fld}").alias("dl"),
+                F.explode(fld_toks).alias("raw_term"),
+            )
+        fld_occ = fld_occ.withColumn(
+            "term", F.concat(F.lit(fld + FIELD_SEP), F.col("raw_term"))
+        ).drop("raw_term")
+        occ = occ.unionByName(fld_occ.select(*occ.columns))
+    return occ
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -123,32 +163,7 @@ def build_index(
     }
 
     def occurrences_for(batch_docs: DataFrame) -> DataFrame:
-        toks = tokens_expr(analyzer)
-        if with_positions:
-            occ = batch_docs.select(
-                "docid", "dl", F.posexplode(toks).alias("pos", "term")
-            )
-        else:
-            occ = batch_docs.select("docid", "dl", F.explode(toks).alias("term"))
-        for fld, fld_an in extra_fields.items():
-            fld_toks = tokens_expr(fld_an, text_col=fld)
-            if with_positions:
-                fld_occ = batch_docs.select(
-                    "docid",
-                    F.col(f"dl_{fld}").alias("dl"),
-                    F.posexplode(fld_toks).alias("pos", "raw_term"),
-                )
-            else:
-                fld_occ = batch_docs.select(
-                    "docid",
-                    F.col(f"dl_{fld}").alias("dl"),
-                    F.explode(fld_toks).alias("raw_term"),
-                )
-            fld_occ = fld_occ.withColumn(
-                "term", F.concat(F.lit(fld + FIELD_SEP), F.col("raw_term"))
-            ).drop("raw_term")
-            occ = occ.unionByName(fld_occ.select(*occ.columns))
-        return occ
+        return field_occurrences(batch_docs, analyzer, with_positions, extra_fields)
 
     # Checkpointed, batched segment build (north rule O1/O7): pending
     # docid_ranges are processed in ``range_batches`` sequential commits,

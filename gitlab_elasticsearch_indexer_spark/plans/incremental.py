@@ -49,6 +49,11 @@ def apply_delta(
     docs_old = cat.read_table(spark, index_dir, "docs", old.snapshot)
     seg_old = cat.read_table(spark, index_dir, "segments", old.snapshot)
 
+    # the old catalog's full index config — rebuilt ranges must reproduce it
+    # exactly (positions payloads, per-field dl columns, namespaced terms)
+    fields_meta = old.fields or {}
+    field_analyzers = {fld: m["analyzer"] for fld, m in fields_meta.items()}
+
     removals = delta.filter(F.col("op").isin("DELETED", "RENAMED")).select(
         F.coalesce(F.col("old_url"), F.col("url")).alias("url")
     )
@@ -57,6 +62,10 @@ def apply_delta(
     new_docs = build_docs(puts, project_id=project_id).withColumn(
         "dl", F.size(tokens_expr(old.analyzer)).cast("int")
     )
+    for fld, fld_an in field_analyzers.items():
+        new_docs = new_docs.withColumn(
+            f"dl_{fld}", F.size(tokens_expr(fld_an, text_col=fld)).cast("int")
+        )
 
     # MERGE: delete + upsert (broadcast both small sides)
     survivors = docs_old.join(
@@ -66,8 +75,20 @@ def apply_delta(
     )
     docs_new = survivors.unionByName(new_docs.select(*survivors.columns)).cache()
 
-    stats_row = docs_new.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats_row = docs_new.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.avg(f"dl_{fld}").alias(f"avgdl_{fld}") for fld in fields_meta],
+    ).collect()[0]
     n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+    new_fields_meta = {
+        fld: {
+            "analyzer": m["analyzer"],
+            "dl_col": m["dl_col"],
+            "avgdl": float(stats_row[f"avgdl_{fld}"] or 0.0),
+        }
+        for fld, m in fields_meta.items()
+    }
 
     # Affected ranges: every docid that was removed, replaced, or added.
     removed_docids = docs_old.join(
@@ -81,11 +102,21 @@ def apply_delta(
     affected_ranges = [r["r"] for r in affected.collect()]
 
     # Rebuild only affected ranges from the NEW doc set; carry the rest over.
-    rebuild_occ = docs_new.filter(
+    # Occurrence generation goes through the SAME path as the full build
+    # (field_occurrences) so rebuilt ranges keep positions payloads and
+    # field-namespaced terms on positions / multi-field indexes.
+    from .build_index import field_occurrences
+
+    rebuild_docs = docs_new.filter(
         ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).isin(affected_ranges)
-    ).select("docid", "dl", F.explode(tokens_expr(old.analyzer)).alias("term"))
+    )
+    rebuild_occ = field_occurrences(
+        rebuild_docs, old.analyzer, old.with_positions, field_analyzers
+    )
     seg_keep = seg_old.filter(~F.col("docid_range").isin(affected_ranges))
-    seg_new = build_segments(rebuild_occ, avgdl=avgdl)
+    seg_new = build_segments(
+        rebuild_occ, avgdl=avgdl, with_positions=old.with_positions
+    )
     segments = seg_keep.unionByName(seg_new)
 
     sd = cat.snapshot_dir(index_dir, new_snapshot)
@@ -118,6 +149,7 @@ def apply_delta(
         n_term_buckets=old.n_term_buckets,
         snapshot=new_snapshot,
         with_positions=old.with_positions,
+        fields=new_fields_meta or None,
     )
     cat.write_catalog(index_dir, catalog)
     cat.commit_snapshot(index_dir, new_snapshot)

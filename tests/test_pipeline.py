@@ -266,6 +266,72 @@ class TestPhraseSearch:
             s.phrase_search("data query")
 
 
+class TestIncrementalConfigs:
+    """apply_delta must preserve the full index config on rebuilt ranges:
+    positions payloads (phrase search still works) and multi-field
+    occurrences + catalog fields (field search still works) — round-1
+    advice regression."""
+
+    @staticmethod
+    def _delta(spark):
+        pages = pages_from_documents(spark, SF_SMALL)
+        m = F.col("doc_id") % 10
+        op = F.when(m == 0, "DELETED").when(m == 1, "MODIFIED")
+        return (
+            pages.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .withColumn(
+                "old_url", F.when(F.col("op") == "DELETED", F.col("url"))
+            )
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("op") == "MODIFIED",
+                    F.concat(F.col("text"), F.lit(" data query data query")),
+                ).otherwise(F.col("text")),
+            )
+            .withColumn("html", F.encode(F.col("text"), "UTF-8"))
+        )
+
+    def test_delta_on_positions_index(self, spark, tmp_path):
+        from gitlab_elasticsearch_indexer_spark.plans.incremental import apply_delta
+
+        d = str(tmp_path / "pinc")
+        pages = pages_from_documents(spark, SF_SMALL)
+        build_index(spark, pages, d, snapshot="s1", with_positions=True)
+        apply_delta(spark, d, self._delta(spark), new_snapshot="s2")
+        s = Searcher(spark, d)
+        assert s.catalog.with_positions
+        hits = s.phrase_search("data query", k=500).toPandas()
+        # every surviving doc_id % 10 == 1 doc got ' data query' appended
+        modified = {
+            r["doc_id"]
+            for r in pages.filter(F.col("doc_id") % 10 == 1).select("doc_id").collect()
+        }
+        assert modified <= set(hits["docid"])
+        # deleted docs are gone
+        assert not any(d0 % 10 == 0 for d0 in hits["docid"])
+
+    def test_delta_on_multifield_index(self, spark, tmp_path):
+        from gitlab_elasticsearch_indexer_spark.plans.incremental import apply_delta
+
+        d = str(tmp_path / "mfinc")
+        pages = pages_from_documents(spark, SF_SMALL)
+        build_index(
+            spark, pages, d, snapshot="s1",
+            extra_fields={"url": "path", "file_name": "code"},
+        )
+        apply_delta(spark, d, self._delta(spark), new_snapshot="s2")
+        s = Searcher(spark, d)
+        assert s.catalog.fields and "url" in s.catalog.fields
+        # doc 7 survives (7 % 10 not in {0}) and its url field still matches
+        hits = s.search("doc7.html", k=5, field="url", with_docs=False).collect()
+        assert [r["docid"] for r in hits] == [7]
+        # a deleted doc's field postings are gone
+        gone = s.search("doc30.html", k=5, field="url", with_docs=False).collect()
+        assert [r["docid"] for r in gone] == []
+
+
 class TestMultiField:
     def test_field_search_paths_and_code(self, spark, tmp_path):
         d = str(tmp_path / "mfidx")
