@@ -5,14 +5,20 @@ Classic doc-at-a-time block-max WAND is a pointer-chasing loop — hostile to
 both Python and distributed execution.  The same safe-up-to-k skipping is
 achieved here at two granularities that ARE Spark-friendly:
 
-1. **Range-level skipping (distributed).**  Per docid_range, the driver knows
-   ``bound(range) = Σ_t idf_t · max_block(max_tfn)`` from segment *metadata
-   only* (a few bytes per block — no posting bytes read).  Ranges are
-   processed in descending-bound batches; after each batch the k-th best
-   score so far is the threshold θ, and every remaining range with
-   bound < θ is skipped without ever being scanned.  This is block-max
-   pruning at the unit of parallelism: batches fan out as one Spark job
-   over the pruned parquet partitions.
+1. **Range-level skipping (distributed).**  Per docid_range,
+   ``bound(range) = Σ_t idf_t · max_block(max_tfn)`` is aggregated
+   SPARK-SIDE from segment *metadata only* (a few bytes per block — no
+   posting bytes read); the driver collects just the per-range aggregate —
+   or, above ``super_threshold`` ranges, only per-SUPER-range maxima with
+   members fetched lazily, so driver memory stays bounded at 10^12 docs.
+   Ranges are processed in descending-bound batches; after each batch the
+   k-th best score so far is the threshold θ, and every remaining range
+   with bound < θ is skipped without ever being scanned.  This is
+   block-max pruning at the unit of parallelism: batches fan out as one
+   Spark job over the pruned parquet partitions.  Small corpora
+   (ranges ≤ range_batch, known from the catalog without a job) skip the
+   bounds phase entirely and score every range in ONE job with an exact
+   Spark-side top-k.
 
 2. **Block-level skipping (within a range, single-term queries).**  Blocks
    sorted by idf·max_tfn descending; once k local hits exist and the next
@@ -138,6 +144,26 @@ def _make_range_scorer(idf_by_term: dict[str, float], avgdl: float, k: int):
     return score_range
 
 
+def _range_bounds_df(seg: DataFrame, stats_df: DataFrame, avgdl: float) -> DataFrame:
+    """(docid_range, bound) computed ENTIRELY Spark-side from block metadata:
+    per-(range, term) max of idf·bound_tfn, summed per range.  The driver
+    never sees per-block rows — only the per-range aggregate (n_docs/8192
+    rows), or per-super-range above that (see search_blockmax)."""
+    tf_d = F.col("max_tf").cast("double")
+    tfn_bound = tf_d / (
+        tf_d
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("min_dl").cast("double") / F.lit(avgdl))
+    )
+    return (
+        seg.join(F.broadcast(stats_df), "term")
+        .groupBy("docid_range", "term")
+        .agg(F.max(tfn_bound * F.col("idf")).alias("tb"))
+        .groupBy("docid_range")
+        .agg(F.sum("tb").alias("bound"))
+    )
+
+
 def search_blockmax(
     spark,
     segments: DataFrame,
@@ -148,81 +174,133 @@ def search_blockmax(
     avgdl: float,
     doc_filter: Column | None = None,
     range_batch: int = 256,
+    n_ranges_hint: int | None = None,
+    super_shift: int = 10,
+    super_threshold: int = 1 << 16,
 ) -> DataFrame:
-    """→ (docid, score) top-k, rank-identical to search_exhaustive."""
+    """→ (docid, score) top-k, rank-identical to search_exhaustive.
+
+    Three regimes, chosen by corpus size (``n_ranges_hint`` — callers pass
+    ceil(n_docs / DOCS_PER_RANGE) from the catalog, so no job is needed to
+    pick the path):
+
+    1. **hint ≤ range_batch** (small corpus): ONE Spark job — cogroup-score
+       every pruned range, exact global top-k via orderBy/limit.  No
+       metadata collect, no driver loop: at bench scale this is the same
+       job count as the exhaustive scorer.
+    2. **default**: per-range bounds aggregated Spark-side
+       (_range_bounds_df) and collected — n_docs/8192 rows, never per-block
+       metadata — then descending-bound batches with θ-pruning.
+    3. **hint > super_threshold** (10^9+ ranges — 10^12+ docs): two-level.
+       Only per-SUPER-range bounds (ranges >> super_shift, 1024× fewer) are
+       collected up front; each super batch lazily fetches its members'
+       per-range bounds.  Driver memory is O(n_ranges / 1024 + batch),
+       and a super-range whose best member bound < θ is skipped without
+       ever fetching its members.
+    """
     if not query_terms:
         return spark.createDataFrame([], "docid long, score double")
 
-    stats = {
-        r["term"]: float(r["idf"])
-        for r in term_stats.filter(F.col("term").isin(query_terms))
-        .select("term", "idf")
-        .collect()
-    }
+    stats_df = (
+        term_stats.filter(F.col("term").isin(query_terms)).select("term", "idf")
+    )
+    stats = {r["term"]: float(r["idf"]) for r in stats_df.collect()}
     live_terms = [t for t in query_terms if t in stats]
     if not live_terms:
         return spark.createDataFrame([], "docid long, score double")
 
     seg = filter_segments_for_terms(segments, live_terms)
-
-    # ---- phase 1: metadata-only range bounds (no posting bytes touched) ----
-    # per-block bounds from (max_tf, min_dl) + current avgdl, max'd per
-    # (range, term), summed per range
-    meta_pdf = (
-        seg.select("docid_range", "term", "max_tf", "min_dl").toPandas()
-    )
-    bounds: dict[int, float] = {}
-    if len(meta_pdf):
-        meta_pdf["bound"] = meta_pdf["term"].map(stats) * _block_bound_tfn(
-            meta_pdf["max_tf"].to_numpy(), meta_pdf["min_dl"].to_numpy(), avgdl
-        )
-        per_range = (
-            meta_pdf.groupby(["docid_range", "term"])["bound"].max().groupby("docid_range").sum()
-        )
-        bounds = {int(k): float(v) for k, v in per_range.items()}
-    ordered_ranges = sorted(bounds, key=lambda rg: -bounds[rg])
-
     doc_side = docs if doc_filter is None else docs.filter(doc_filter)
     doc_side = doc_side.select(
         "docid",
         "dl",
         (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long").alias("docid_range"),
     )
-
     scorer = _make_range_scorer(stats, avgdl, k)
+
+    def cogroup_score(seg_part: DataFrame, docs_part: DataFrame) -> DataFrame:
+        return (
+            seg_part.groupBy("docid_range")
+            .cogroup(docs_part.groupBy("docid_range"))
+            .applyInPandas(scorer, schema="docid long, score double")
+        )
+
+    # ---- regime 1: small corpus — one job, no driver-side batching ----
+    if n_ranges_hint is not None and n_ranges_hint <= range_batch:
+        return (
+            cogroup_score(seg, doc_side)
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
     heap: list[tuple[float, int]] = []  # (score, -docid) min-heap of global top-k
 
     def kth() -> float:
         return heap[0][0] if len(heap) >= k else float("-inf")
 
-    i = 0
-    while i < len(ordered_ranges):
-        theta = kth()
-        batch = []
-        while i < len(ordered_ranges) and len(batch) < range_batch:
-            rg = ordered_ranges[i]
-            # strict <: a range whose bound equals θ could still contain a
-            # score-tied doc that wins the (score desc, docid asc) tie-break
-            if bounds[rg] < theta and len(heap) >= k:
-                i = len(ordered_ranges)  # every later range has a lower bound
-                break
-            batch.append(rg)
-            i += 1
-        if not batch:
-            break
-        part = (
-            seg.filter(F.col("docid_range").isin(batch))
-            .groupBy("docid_range")
-            .cogroup(doc_side.filter(F.col("docid_range").isin(batch)).groupBy("docid_range"))
-            .applyInPandas(scorer, schema="docid long, score double")
-            .collect()
-        )
+    def score_batch(batch: list[int]) -> None:
+        part = cogroup_score(
+            seg.filter(F.col("docid_range").isin(batch)),
+            doc_side.filter(F.col("docid_range").isin(batch)),
+        ).collect()
         for row in part:
             item = (row["score"], -row["docid"])
             if len(heap) < k:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
+
+    def process_ranges(ordered_ranges: list[int], bounds: dict[int, float]) -> None:
+        """Descending-bound θ-pruned batch loop over one set of ranges."""
+        i = 0
+        while i < len(ordered_ranges):
+            theta = kth()
+            batch = []
+            while i < len(ordered_ranges) and len(batch) < range_batch:
+                rg = ordered_ranges[i]
+                # strict <: a range whose bound equals θ could still contain
+                # a score-tied doc winning the (score desc, docid asc) break
+                if bounds[rg] < theta and len(heap) >= k:
+                    i = len(ordered_ranges)  # later ranges bound even lower
+                    break
+                batch.append(rg)
+                i += 1
+            if not batch:
+                break
+            score_batch(batch)
+
+    two_level = n_ranges_hint is not None and n_ranges_hint > super_threshold
+    rb = _range_bounds_df(seg, stats_df, avgdl)
+    if not two_level:
+        # ---- regime 2: collect per-range bounds (one narrow agg job) ----
+        bounds = {
+            int(r["docid_range"]): float(r["bound"]) for r in rb.collect()
+        }
+        process_ranges(sorted(bounds, key=lambda rg: -bounds[rg]), bounds)
+    else:
+        # ---- regime 3: super-range level first, members fetched lazily ----
+        rb = rb.cache()
+        try:
+            super_rows = (
+                rb.groupBy(
+                    F.shiftright(F.col("docid_range"), super_shift).alias("srange")
+                )
+                .agg(F.max("bound").alias("sbound"))
+                .collect()
+            )
+            sbounds = {int(r["srange"]): float(r["sbound"]) for r in super_rows}
+            for sr in sorted(sbounds, key=lambda s: -sbounds[s]):
+                if sbounds[sr] < kth() and len(heap) >= k:
+                    break  # no member of any later super-range can enter top-k
+                member_rows = rb.filter(
+                    F.shiftright(F.col("docid_range"), super_shift) == sr
+                ).collect()
+                bounds = {
+                    int(r["docid_range"]): float(r["bound"]) for r in member_rows
+                }
+                process_ranges(sorted(bounds, key=lambda rg: -bounds[rg]), bounds)
+        finally:
+            rb.unpersist()
 
     out = sorted(heap, key=lambda t: (-t[0], -t[1]))
     return spark.createDataFrame(

@@ -89,6 +89,7 @@ class Searcher:
                 doc_filter,
             )
         else:
+            n_ranges = -(-max(self.catalog.n_docs, 1) // self.catalog.docs_per_range)
             hits = search_blockmax(
                 self.spark,
                 self.segments,
@@ -98,6 +99,7 @@ class Searcher:
                 k,
                 avgdl,
                 doc_filter,
+                n_ranges_hint=n_ranges,
             )
         if not with_docs:
             return hits

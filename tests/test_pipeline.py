@@ -156,6 +156,36 @@ class TestRankIdentity:
         assert bm["docid"].tolist() == ex["docid"].tolist(), query
         assert bm["score"].tolist() == pytest.approx(ex["score"].tolist(), rel=1e-12)
 
+    @pytest.mark.parametrize("query,k", QUERIES[:3])
+    def test_blockmax_batched_and_superrange_regimes(
+        self, spark, index_dir, query, k
+    ):
+        """Force regimes 2 (collected per-range bounds, θ-pruned batches)
+        and 3 (two-level super-range) on the small corpus; both must stay
+        rank-identical to the single-job fast path / exhaustive scorer."""
+        from gitlab_elasticsearch_indexer_spark.operators.search import (
+            analyze_query,
+            search_exhaustive,
+        )
+        from gitlab_elasticsearch_indexer_spark.operators.wand import search_blockmax
+
+        s = Searcher(spark, index_dir)
+        terms = analyze_query(query, s.catalog.analyzer)
+        ex = search_exhaustive(
+            s.segments, s.term_stats, s.docs, terms, k, s.catalog.avgdl
+        ).toPandas()
+        batched = search_blockmax(
+            spark, s.segments, s.term_stats, s.docs, terms, k, s.catalog.avgdl,
+            range_batch=1, n_ranges_hint=10**6,  # hint forces regime 2
+        ).toPandas()
+        assert batched["docid"].tolist() == ex["docid"].tolist(), query
+        two_level = search_blockmax(
+            spark, s.segments, s.term_stats, s.docs, terms, k, s.catalog.avgdl,
+            range_batch=1, n_ranges_hint=10**6,
+            super_threshold=1, super_shift=1,  # forces regime 3
+        ).toPandas()
+        assert two_level["docid"].tolist() == ex["docid"].tolist(), query
+
     def test_metadata_filter(self, spark, index_dir):
         """Q7 permission-style filter: lang='en' only, both paths agree."""
         s = Searcher(spark, index_dir)
