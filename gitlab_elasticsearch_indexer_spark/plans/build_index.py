@@ -116,92 +116,120 @@ def build_index(
         )
 
     sd = cat.snapshot_dir(index_dir, snapshot)
+    range_expr = (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
 
-    done_ranges: set[int] = set()
+    # done ranges stay a DATAFRAME — at 10^12 docs the lineage has ~1.2e8
+    # rows; they are joined, never collected to the driver
+    done_df: DataFrame | None = None
     if resume:
         try:
-            lineage_old = spark.read.parquet(f"{sd}/lineage")
-            done_ranges = {
-                int(r["partition_key"])
-                for r in lineage_old.filter(F.col("status") == "done").collect()
-            }
+            done_df = (
+                spark.read.parquet(f"{sd}/lineage")
+                .filter((F.col("status") == "done") & (F.col("partition_key") != "-"))
+                .select(F.col("partition_key").cast("long").alias("rng"))
+                .distinct()
+                .cache()
+            )
+            if done_df.limit(1).count() == 0:
+                done_df.unpersist()
+                done_df = None
         except Exception:
-            done_ranges = set()
+            done_df = None
 
     docs_src.write.mode("overwrite").parquet(f"{sd}/docs")
     # all later passes read the parquet: Arrow UDFs ran exactly once
     docs = spark.read.parquet(f"{sd}/docs")
 
-    # ONE tiny agg serves both collection stats and the lineage rows
-    # (column-pruned scan of docid+dl only)
-    range_rows = (
-        docs.groupBy(
-            ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).alias("rng")
-        )
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("dl").cast("long").alias("n_tokens"),
-            *[
-                F.sum(f"dl_{fld}").cast("long").alias(f"n_tokens_{fld}")
-                for fld in extra_fields
-            ],
-        )
-        .collect()
-    )
-    n_docs = sum(r["n_docs"] for r in range_rows)
-    total_tokens = sum(r["n_tokens"] for r in range_rows)
+    # collection stats: ONE scalar aggregate — the only thing the driver
+    # ever holds (column-pruned scan of dl columns)
+    agg_row = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+        *[
+            F.sum(f"dl_{fld}").cast("long").alias(f"n_tokens_{fld}")
+            for fld in extra_fields
+        ],
+    ).collect()[0]
+    n_docs = int(agg_row["n_docs"])
+    total_tokens = int(agg_row["n_tokens"] or 0)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     field_meta = {
         fld: {
             "analyzer": fld_an,
             "dl_col": f"dl_{fld}",
             "avgdl": (
-                sum(r[f"n_tokens_{fld}"] for r in range_rows) / n_docs if n_docs else 0.0
+                int(agg_row[f"n_tokens_{fld}"] or 0) / n_docs if n_docs else 0.0
             ),
         }
         for fld, fld_an in extra_fields.items()
     }
 
+    # per-range metrics as a DataFrame (the future lineage rows)
+    range_stats = docs.groupBy(range_expr.alias("rng")).agg(
+        F.count("*").cast("long").alias("rng_docs"),
+        F.sum("dl").cast("long").alias("rng_tokens"),
+    )
+
     def occurrences_for(batch_docs: DataFrame) -> DataFrame:
         return field_occurrences(batch_docs, analyzer, with_positions, extra_fields)
 
-    # Checkpointed, batched segment build (north rule O1/O7): pending
-    # docid_ranges are processed in ``range_batches`` sequential commits,
-    # each appending its segment rows and then its lineage "done" rows —
-    # so a crash resumes at batch granularity with resume=True.  The
-    # snapshot pointer flips only after everything, so readers never see a
-    # partial index either way.
-    all_ranges = sorted(int(r["rng"]) for r in range_rows)
-    pending = [r for r in all_ranges if r not in done_ranges]
-
-    if resume and done_ranges and pending and os.path.exists(f"{sd}/segments"):
+    # Checkpointed, batched segment build (north rule O1/O7): docid_ranges
+    # are assigned to ``range_batches`` deterministic batches (rng mod B) and
+    # processed as sequential commits, each appending its segment rows and
+    # then its lineage "done" rows — so a crash resumes at batch granularity
+    # with resume=True.  The snapshot pointer flips only after everything,
+    # so readers never see a partial index either way.
+    if done_df is not None and os.path.exists(f"{sd}/segments"):
         # A crash can land between a batch's segment append and its lineage
         # mark; blindly re-appending would duplicate that batch's postings.
         # Truth is the lineage: compact segments down to lineage-confirmed
-        # ranges before resuming.  (On Iceberg this whole step is a
-        # metadata-only DELETE WHERE docid_range NOT IN done.)
-        keep = spark.read.parquet(f"{sd}/segments").filter(
-            F.col("docid_range").isin([int(r) for r in done_ranges])
+        # ranges (a distributed semi-join — no range list on the driver)
+        # before resuming.  (On Iceberg this whole step is a metadata-only
+        # DELETE WHERE docid_range NOT IN done.)
+        has_pending = (
+            range_stats.join(done_df, "rng", "left_anti").limit(1).count() > 0
         )
-        keep.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{sd}/segments_compact"
-        )
-        shutil.rmtree(f"{sd}/segments")
-        os.rename(f"{sd}/segments_compact", f"{sd}/segments")
-    n_batches = max(1, min(range_batches, len(pending) or 1))
-    per = -(-len(pending) // n_batches) if pending else 0
-    batches = [pending[i : i + per] for i in range(0, len(pending), per)] if per else []
-    range_expr = (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
-    row_by_rng = {int(r["rng"]): r for r in range_rows}
+        if has_pending:
+            keep = spark.read.parquet(f"{sd}/segments").join(
+                done_df.select(F.col("rng").alias("docid_range")),
+                "docid_range",
+                "left_semi",
+            )
+            keep.repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{sd}/segments_compact")
+            shutil.rmtree(f"{sd}/segments")
+            os.rename(f"{sd}/segments_compact", f"{sd}/segments")
 
-    for i, batch in enumerate(batches):
-        batch_docs = docs.filter(range_expr.isin(batch)) if (
-            done_ranges or len(batches) > 1
-        ) else docs
+    n_batches = max(1, range_batches)
+    lineage_cols = [
+        F.col("rng").cast("string").alias("partition_key"),
+        F.lit(None).cast("string").alias("from_snapshot"),
+        F.lit(snapshot).alias("to_snapshot"),
+        F.col("rng_docs").alias("n_docs"),
+        F.col("rng_tokens").alias("n_tokens"),
+        F.lit("done").alias("status"),
+    ]
+    for i in range(n_batches):
+        if done_df is None and n_batches == 1:
+            batch_docs, batch_stats = docs, range_stats  # fast path: no filters
+        else:
+            in_batch = F.pmod(range_expr, F.lit(n_batches)) == i
+            batch_docs = docs.filter(in_batch)
+            batch_stats = range_stats.filter(
+                F.pmod(F.col("rng"), F.lit(n_batches)) == i
+            )
+            if done_df is not None:
+                batch_docs = batch_docs.join(
+                    done_df.select(F.col("rng").alias("__done_rng")),
+                    range_expr == F.col("__done_rng"),
+                    "left_anti",
+                )
+                batch_stats = batch_stats.join(done_df, "rng", "left_anti")
         segments = build_segments(
             occurrences_for(batch_docs), avgdl=avgdl, with_positions=with_positions
         )
-        mode = "append" if (done_ranges or i > 0) else "overwrite"
+        mode = "append" if (done_df is not None or i > 0) else "overwrite"
         # cluster block rows by bucket first: without this every write task
         # emits a file per bucket directory (tasks × 64 small files) and the
         # driver's serial commit/rename phase dominates small-core runs
@@ -209,32 +237,20 @@ def build_index(
             f"{sd}/segments"
         )
         wall_ms = int((time.time() - t0) * 1000)
-        lineage = spark.createDataFrame(
-            [
-                (
-                    str(rng),
-                    None,
-                    snapshot,
-                    row_by_rng[rng]["n_docs"],
-                    row_by_rng[rng]["n_tokens"],
-                    "done",
-                    wall_ms,
-                )
-                for rng in batch
-            ],
-            LINEAGE,
-        )
-        lineage.coalesce(1).write.mode(
-            "append" if (done_ranges or i > 0) else "overwrite"
-        ).parquet(f"{sd}/lineage")
+        # lineage written distributively from the per-range stats DataFrame
+        batch_stats.select(
+            *lineage_cols, F.lit(wall_ms).cast("long").alias("wall_ms")
+        ).write.mode(mode).parquet(f"{sd}/lineage")
         if _fail_after_batches is not None and i + 1 >= _fail_after_batches:
             raise RuntimeError(
-                f"injected failure after batch {i + 1}/{len(batches)} (test hook)"
+                f"injected failure after batch {i + 1}/{n_batches} (test hook)"
             )
-    if not batches and not done_ranges:
+    if n_docs == 0 and done_df is None:
         spark.createDataFrame(
             [("-", None, snapshot, 0, 0, "done", 0)], LINEAGE
         ).coalesce(1).write.mode("overwrite").parquet(f"{sd}/lineage")
+    if done_df is not None:
+        done_df.unpersist()
 
     # term stats from block METADATA of the freshly written table — the scan
     # prunes the posting-bytes columns entirely (ReadSchema: term,n_docs,sum_tf)
