@@ -7,9 +7,11 @@ pandas UDFs (functions/udfs.py).  Chains:
 - default analyzer  = standard tokenizer + lowercase + light_english stemmer
   (elastic/index.go:29-36).  The standard tokenizer is approximated with the
   Unicode word pattern ``[^\\W_]+`` (UAX#29 word segmentation keeps
-  letter/digit runs; underscore is punctuation).  The stemmer implements the
-  published Lucene EnglishMinimalStemmer algorithm (plural stripping) —
-  exact KStem parity would need the KStem lexicon, out of scope.
+  letter/digit runs; underscore is punctuation).  ES ``light_english``
+  resolves to Lucene's KStemFilter — implemented in functions/kstem.py
+  (published Krovetz algorithm + curated lexicon; divergences documented
+  there).  ``light_english_stem`` below is the simpler published
+  EnglishMinimalStemmer, kept as the ``minimal_english`` option.
 - simple analyzer   = lowercase + ``[a-z0-9]+`` runs.  Chosen as the
   engine's *oracle* analyzer: it is exactly expressible in both Spark SQL
   (`split(lower(text),'[^a-z0-9]+')`) and DuckDB
@@ -122,6 +124,15 @@ def sha_normalize(value: str) -> str:
 # Analyzer chains (str -> list[str])
 # ---------------------------------------------------------------------------
 def analyze_default(text: str) -> list[str]:
+    """standard tokenizer + lowercase + KStem (= ES light_english)."""
+    from . import kstem
+
+    return [kstem.stem(t) for t in _STANDARD_RE.findall(text.lower())]
+
+
+def analyze_minimal(text: str) -> list[str]:
+    """standard tokenizer + lowercase + EnglishMinimalStemmer — the lighter
+    plural-only alternative (kept for comparison/tests)."""
     return [light_english_stem(t) for t in _STANDARD_RE.findall(text.lower())]
 
 
@@ -150,6 +161,7 @@ def analyze_ngram(text: str) -> list[str]:
 
 ANALYZERS: dict[str, Callable[[str], list[str]]] = {
     "default": analyze_default,
+    "minimal_english": analyze_minimal,
     "simple": analyze_simple,
     "code": analyze_code,
     "path": analyze_path,

@@ -119,12 +119,19 @@ _CACHE_ROOT = os.path.join(
 _built: dict[tuple[str, bool], str] = {}
 
 
-def _index_for(spark: SparkSession, sf_dir: str, with_positions: bool = False) -> str:
-    key = (os.path.abspath(sf_dir), with_positions)
+def _index_for(
+    spark: SparkSession,
+    sf_dir: str,
+    with_positions: bool = False,
+    analyzer: str = "simple",
+) -> str:
+    key = (os.path.abspath(sf_dir), with_positions, analyzer)
     if key in _built:
         return _built[key]
-    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_") + (
-        "_pos" if with_positions else ""
+    tag = (
+        os.path.abspath(sf_dir).strip("/").replace("/", "_")
+        + ("_pos" if with_positions else "")
+        + ("" if analyzer == "simple" else f"_{analyzer}")
     )
     index_dir = os.path.join(_CACHE_ROOT, tag)
     need_build = True
@@ -136,15 +143,20 @@ def _index_for(spark: SparkSession, sf_dir: str, with_positions: bool = False) -
     if need_build:
         pages = pages_from_documents(spark, sf_dir)
         build_index(
-            spark, pages, index_dir, analyzer="simple",
+            spark, pages, index_dir, analyzer=analyzer,
             with_positions=with_positions, snapshot="s1",
         )
     _built[key] = index_dir
     return index_dir
 
 
-def _searcher(spark: SparkSession, sf_dir: str, with_positions: bool = False) -> Searcher:
-    return Searcher(spark, _index_for(spark, sf_dir, with_positions))
+def _searcher(
+    spark: SparkSession,
+    sf_dir: str,
+    with_positions: bool = False,
+    analyzer: str = "simple",
+) -> Searcher:
+    return Searcher(spark, _index_for(spark, sf_dir, with_positions, analyzer))
 
 
 def _topk_entry(query: str, k: int, mode: str, doc_filter_expr: str | None = None):
@@ -1554,6 +1566,24 @@ WHERE n_matched = 3
 ORDER BY round(raw, 4) DESC, docid ASC LIMIT 10
 """,
 )
+
+
+# --- ft_bm25_default_topk: the DEFAULT analyzer chain (standard tokenizer +
+# lowercase + KStem light_english) end-to-end through build/codec/scoring.
+# KStem's lexicon is not SQL-expressible, so no DuckDB twin (rows-only here);
+# the chain is closed instead by the independent pandas BM25 oracle in
+# tests/test_pipeline.py::TestDefaultAnalyzerEndToEnd.
+def _ft_bm25_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir, analyzer="default")
+    hits = s.search("tables values queries", k=60, mode="exhaustive", with_docs=False)
+    return (
+        hits.select("docid", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
+register("ft_bm25_default_topk", _ft_bm25_default, None)
 
 
 # --- ann_ivf_topk: KMeans coarse quantizer + probe-limited exact cosine ----

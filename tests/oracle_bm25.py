@@ -23,8 +23,9 @@ def bm25_topk(
     k: int,
     k1: float = 1.2,
     b: float = 0.75,
+    tokenizer=simple_tokens,
 ) -> pd.DataFrame:
-    toks = {int(r.docid): simple_tokens(r.content) for r in docs.itertuples(index=False)}
+    toks = {int(r.docid): tokenizer(r.content) for r in docs.itertuples(index=False)}
     n = len(toks)
     dls = {d: len(t) for d, t in toks.items()}
     avgdl = sum(dls.values()) / n if n else 0.0
@@ -33,7 +34,7 @@ def bm25_topk(
     for d, c in tfs.items():
         df.update(c.keys())
 
-    qterms = list(dict.fromkeys(simple_tokens(query)))
+    qterms = list(dict.fromkeys(tokenizer(query)))
     scores: dict[int, float] = {}
     for t in qterms:
         if t not in df:

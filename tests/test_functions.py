@@ -93,6 +93,56 @@ class TestAnalyzers:
         for w, want in cases.items():
             assert analysis.light_english_stem(w) == want, w
 
+    def test_kstem_goldens(self):
+        """KStem (= ES light_english) golden table: inflectional strips with
+        dictionary-driven e-restoration/undoubling, dict-gated derivational
+        endings, headwords and OOV words conservative-unchanged."""
+        from gitlab_elasticsearch_indexer_spark.functions import kstem
+
+        golden = {
+            # plurals
+            "cars": "car", "flies": "fly", "classes": "class", "boxes": "box",
+            "churches": "church", "wages": "wage", "heroes": "hero",
+            "news": "news", "species": "species", "analysis": "analysis",
+            "bus": "bus", "tables": "table", "features": "feature",
+            "children": "child", "wolves": "wolf",
+            # past tense
+            "walked": "walk", "agreed": "agree", "stopped": "stop",
+            "tried": "try", "hoped": "hope", "created": "create",
+            "updated": "update", "supported": "support", "passed": "pass",
+            # -ing (incl. doubled vs e-restored disambiguation)
+            "running": "run", "talking": "talk", "hoping": "hope",
+            "hopped": "hop", "charging": "charge", "going": "go",
+            "ring": "ring", "during": "during", "using": "use",
+            "writing": "write", "sitting": "sit", "telling": "tell",
+            # derivational (dictionary-gated)
+            "happiness": "happy", "darkness": "dark", "ability": "able",
+            "possibility": "possible", "activity": "active", "purity": "pure",
+            "organization": "organize", "combination": "combine",
+            "transformation": "transform", "writer": "write",
+            "carrier": "carry", "quickly": "quick", "really": "real",
+            "happily": "happy", "possibly": "possible",
+            "historical": "historic", "biological": "biology",
+            "arrival": "arrive", "informative": "inform",
+            "creative": "create", "supportive": "support",
+            "modernize": "modern", "photographic": "photography",
+            "microscopic": "microscope", "urgency": "urgent",
+            # lexicon headwords return themselves (KStem conservatism)
+            "development": "development", "management": "management",
+            "summarize": "summarize",
+            # out-of-vocabulary: inflection-only, no derivational guessing
+            "zyxxqw": "zyxxqw", "flurbing": "flurb", "glorps": "glorp",
+            "flurbed": "flurbed", "flurbness": "flurbness",
+        }
+        for w, want in golden.items():
+            assert kstem.stem(w) == want, f"{w} -> {kstem.stem(w)} != {want}"
+
+    def test_default_chain_uses_kstem(self):
+        assert analysis.analyze_default("Running Happiness") == ["run", "happy"]
+        assert analysis.analyze_minimal("Running Happiness") == [
+            "running", "happiness",
+        ]
+
     def test_standard_excludes_underscore(self):
         assert analysis.analyze_simple("foo_bar") == ["foo", "bar"]
         assert "foo_bar" not in analysis.analyze_default("foo_bar")

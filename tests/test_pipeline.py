@@ -296,6 +296,56 @@ class TestPhraseSearch:
             s.phrase_search("data query")
 
 
+class TestDefaultAnalyzerEndToEnd:
+    """The default chain (standard tokenizer + lowercase + KStem) driven
+    through the REAL pipeline — build, codec, segments, scoring — and
+    verified against the independent pandas BM25 oracle re-tokenizing the
+    raw text with the same chain (closes the round-1 gap: only the simple
+    analyzer was verified end-to-end)."""
+
+    @pytest.fixture(scope="class")
+    def default_idx(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("didx"))
+        build_index(
+            spark, pages_from_documents(spark, SF_SMALL), d,
+            analyzer="default", snapshot="s1",
+        )
+        return d
+
+    @pytest.mark.parametrize(
+        "query,k",
+        [
+            ("tables values queries", 10),   # plural forms stem to index terms
+            ("merged batches", 15),          # -ed/-es inflection
+            ("table", 10),
+            ("customer windows", 25),
+        ],
+    )
+    def test_rank_identity_vs_pandas_oracle(self, spark, default_idx, query, k):
+        from gitlab_elasticsearch_indexer_spark.functions.analysis import (
+            analyze_default,
+        )
+
+        s = Searcher(spark, default_idx)
+        got = s.search(query, k=k, mode="exhaustive", with_docs=False).toPandas()
+        docs = (
+            pages_from_documents(spark, SF_SMALL)
+            .select(F.col("doc_id").alias("docid"), F.col("text").alias("content"))
+            .toPandas()
+        )
+        want = bm25_topk(docs, query, k, tokenizer=analyze_default)
+        assert got["docid"].tolist() == want["docid"].tolist(), query
+        assert got["score"].tolist() == pytest.approx(
+            want["score"].tolist(), rel=1e-9
+        ), query
+
+    def test_blockmax_matches_on_default_chain(self, spark, default_idx):
+        s = Searcher(spark, default_idx)
+        ex = s.search("tables values queries", k=10, mode="exhaustive", with_docs=False).toPandas()
+        bm = s.search("tables values queries", k=10, mode="blockmax", with_docs=False).toPandas()
+        assert bm["docid"].tolist() == ex["docid"].tolist()
+
+
 class TestIncrementalConfigs:
     """apply_delta must preserve the full index config on rebuilt ranges:
     positions payloads (phrase search still works) and multi-field
