@@ -9,6 +9,9 @@ Semantics mirrored:
 - DELETED whose content md5 reappears at exactly one ADDED url
                        → the pair collapses to one RENAMED row
                          (git's rename detection by content identity)
+- ADDED whose content md5 exists at exactly one old url that SURVIVES in
+  the new snapshot → COPIED (old_url = the surviving source;
+  git/gitaly.go:207 dispatches COPIED → put, same as ADDED)
 
 Shape: one full-outer join on url (sort-merge at corpus scale; both sides
 bucketable on url for a shuffle-free join), then a broadcast-size join for
@@ -68,9 +71,38 @@ def snapshot_diff(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
         F.col("del_url").alias("old_url"),
     )
 
-    plain_added = added.join(
+    nonrenamed_added = added.join(
         renames.select(F.col("url").alias("r_url")),
         added["url"] == F.col("r_url"),
+        "left_anti",
+    )
+
+    # COPIED: content hash of an added url also lives at exactly one old url
+    # that still exists in new (the source was NOT deleted) — git's copy
+    # detection by content identity (gitaly.go:207).  Both sides restricted
+    # to hash-unique rows so the pairing is deterministic.
+    surviving_old = (
+        joined.filter(F.col("o_md5").isNotNull() & F.col("n_md5").isNotNull())
+        .select(F.col("url").alias("src_url"), F.col("o_md5"))
+        .withColumn("s_cnt", F.count("*").over(Window.partitionBy("o_md5")))
+        .filter(F.col("s_cnt") == 1)
+        .drop("s_cnt")
+    )
+    uniq_nonrenamed = nonrenamed_added.withColumn(
+        "a_cnt", F.count("*").over(Window.partitionBy("n_md5"))
+    ).filter(F.col("a_cnt") == 1)
+    copies = uniq_nonrenamed.join(
+        F.broadcast(surviving_old),
+        uniq_nonrenamed["n_md5"] == surviving_old["o_md5"],
+    ).select(
+        "url", "warc_ts", "html", "text", "lang", "doc_id",
+        F.lit("COPIED").alias("op"),
+        F.col("src_url").alias("old_url"),
+    )
+
+    plain_added = nonrenamed_added.join(
+        copies.select(F.col("url").alias("c_url")),
+        nonrenamed_added["url"] == F.col("c_url"),
         "left_anti",
     ).select(
         "url", "warc_ts", "html", "text", "lang", "doc_id",
@@ -96,6 +128,9 @@ def snapshot_diff(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
         F.lit("MODIFIED").alias("op"),
         F.lit(None).cast("string").alias("old_url"),
     )
-    return plain_added.unionByName(mods).unionByName(renames.select(*plain_added.columns)).unionByName(
-        plain_deleted
+    return (
+        plain_added.unionByName(mods)
+        .unionByName(renames.select(*plain_added.columns))
+        .unionByName(copies.select(*plain_added.columns))
+        .unionByName(plain_deleted)
     )

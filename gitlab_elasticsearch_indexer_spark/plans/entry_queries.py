@@ -1398,25 +1398,41 @@ register("doc_envelope_json", _doc_envelope_json, None)
 def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic two-snapshot diff (m = doc_id % 7):
     m=3 only in new → ADDED; m=1 content changed → MODIFIED; m=2 url moved,
-    content identical → RENAMED (content-hash pairing); m=5 only in old →
-    DELETED; others unchanged → absent."""
+    content identical → RENAMED (content-hash pairing); m=4 content
+    duplicated at a second new url while the source survives → COPIED;
+    m=5 only in old → DELETED; others unchanged → absent.
+    m=4 texts get a per-doc suffix in BOTH snapshots so content-hash
+    pairing is unique by construction."""
     from ..operators.diff import snapshot_diff
 
     pages = pages_from_documents(spark, sf_dir)
     m = F.col("doc_id") % 7
+    uniq_text = F.when(
+        m == 4, F.concat(F.col("text"), F.lit(" c"), F.col("doc_id").cast("string"))
+    ).otherwise(F.col("text"))
     old = pages.filter(m != 3).select(
         F.when(m == 2, F.concat(F.col("url"), F.lit(".old")))
         .otherwise(F.col("url"))
         .alias("url"),
         F.encode(
-            F.when(m == 1, F.concat(F.col("text"), F.lit(" legacy"))).otherwise(
-                F.col("text")
-            ),
+            F.when(m == 1, F.concat(uniq_text, F.lit(" legacy"))).otherwise(uniq_text),
             "UTF-8",
         ).alias("html"),
     )
-    new = pages.filter(m != 5)
-    delta = snapshot_diff(old, new)
+    base_new = pages.filter(m != 5).select(
+        "url", "warc_ts",
+        F.encode(uniq_text, "UTF-8").alias("html"),
+        uniq_text.alias("text"), "lang", "doc_id",
+    )
+    copies_new = pages.filter(m == 4).select(
+        F.concat(F.col("url"), F.lit(".copy")).alias("url"),
+        "warc_ts",
+        F.encode(uniq_text, "UTF-8").alias("html"),
+        uniq_text.alias("text"),
+        "lang",
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+    )
+    delta = snapshot_diff(old, base_new.unionByName(copies_new))
     return delta.select(
         F.col("doc_id").cast("long").alias("docid"), "url", "op", "old_url"
     )
@@ -1435,6 +1451,8 @@ UNION ALL
 SELECT CAST(doc_id AS BIGINT), url, 'MODIFIED', NULL FROM base WHERE m = 1
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), url, 'RENAMED', url || '.old' FROM base WHERE m = 2
+UNION ALL
+SELECT CAST(doc_id + 1000000 AS BIGINT), url || '.copy', 'COPIED', url FROM base WHERE m = 4
 UNION ALL
 SELECT CAST(NULL AS BIGINT), url, 'DELETED', url FROM base WHERE m = 5
 """,
@@ -1564,6 +1582,57 @@ scored AS (
 SELECT docid, round(raw, 4) AS score FROM scored
 WHERE n_matched = 3
 ORDER BY round(raw, 4) DESC, docid ASC LIMIT 10
+""",
+)
+
+
+# --- routed_two_tables: F5/K5 — one job routes blob docs into the full-text
+# index AND commit/meta docs into their own table (main.go:125-133,
+# elastic/client.go:60-62); checked via per-doc-type counts + probes.
+_routed_cache: dict[str, object] = {}
+
+
+def _routed_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.routed_build import build_routed
+
+    key = os.path.abspath(sf_dir)
+    if key not in _routed_cache:
+        root = os.path.join(_CACHE_ROOT, "routed_" + key.strip("/").replace("/", "_"))
+        res_dir = os.path.join(root, "blob_index")
+        try:
+            cat.read_catalog(res_dir)
+            assert os.path.exists(os.path.join(root, "commits"))
+        except Exception:
+            build_routed(spark, pages_from_documents(spark, sf_dir), root)
+        _routed_cache[key] = root
+    root = _routed_cache[key]
+    blob_docs = cat.read_table(spark, os.path.join(root, "blob_index"), "docs")
+    commits = spark.read.parquet(os.path.join(root, "commits"))
+    blob_row = blob_docs.agg(
+        F.lit("blob").alias("doc_type"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("id").alias("probe"),
+    )
+    commit_row = commits.agg(
+        F.lit("commit").alias("doc_type"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("authored_at").alias("probe"),
+    )
+    return blob_row.unionByName(commit_row)
+
+
+register(
+    "routed_two_tables",
+    _routed_two_tables,
+    f"""
+SELECT 'blob' AS doc_type, CAST(count(*) AS BIGINT) AS n_docs,
+       max('1_' || {_URL_SQL}) AS probe
+FROM documents
+UNION ALL
+SELECT 'commit', CAST(count(*) AS BIGINT),
+       max(strftime(TIMESTAMP '2024-03-01 00:00:00' + INTERVAL (doc_id * 7) SECOND,
+                    '%Y%m%dT%H%M%S') || '+0000')
+FROM documents
 """,
 )
 

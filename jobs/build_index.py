@@ -37,6 +37,15 @@ def main() -> None:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot", default="s1")
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument(
+        "--blob-type", default=None, choices=["blob", "wiki_blob"],
+        help="route blobs into the <type>_index and commit docs into their "
+        "own table (reference main.go:125-133); omit for a plain build",
+    )
+    p.add_argument(
+        "--skip-commits", action="store_true",
+        help="with --blob-type: gate off the commits table (main.go --skip-commits)",
+    )
     args = p.parse_args()
 
     from gitlab_elasticsearch_indexer_spark.plans.build_index import build_index
@@ -57,16 +66,33 @@ def main() -> None:
     else:
         p.error("--pages or --synthesize-from required")
 
-    catalog = build_index(
-        spark,
-        pages,
-        args.index,
-        analyzer=args.analyzer,
-        with_positions=args.positions,
-        snapshot=args.snapshot,
-        resume=args.resume,
-    )
-    print(f"built snapshot={catalog.snapshot} n_docs={catalog.n_docs} avgdl={catalog.avgdl:.3f}")
+    if args.blob_type:
+        from gitlab_elasticsearch_indexer_spark.plans.routed_build import build_routed
+
+        res = build_routed(
+            spark, pages, args.index,
+            blob_type=args.blob_type,
+            skip_commits=args.skip_commits,
+            analyzer=args.analyzer,
+            snapshot=args.snapshot,
+        )
+        print(
+            f"routed build: {res.blob_type}_index n_docs={res.blob_docs} "
+            f"commits={'skipped' if res.commits_table is None else res.commit_docs}"
+        )
+    else:
+        catalog = build_index(
+            spark,
+            pages,
+            args.index,
+            analyzer=args.analyzer,
+            with_positions=args.positions,
+            snapshot=args.snapshot,
+            resume=args.resume,
+        )
+        print(
+            f"built snapshot={catalog.snapshot} n_docs={catalog.n_docs} avgdl={catalog.avgdl:.3f}"
+        )
     spark.stop()
 
 

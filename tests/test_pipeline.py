@@ -296,6 +296,44 @@ class TestPhraseSearch:
             s.phrase_search("data query")
 
 
+class TestRoutedBuild:
+    """F5/K5: one job produces two doc-type tables — blob full-text index +
+    commits meta table — with --skip-commits gating and wiki_blob routing
+    (main.go:125-133, elastic/client.go:60-62)."""
+
+    def test_dual_table_build_and_search(self, spark, tmp_path):
+        from gitlab_elasticsearch_indexer_spark.plans.routed_build import build_routed
+
+        root = str(tmp_path / "routed")
+        pages = pages_from_documents(spark, SF_SMALL)
+        res = build_routed(spark, pages, root)
+        assert res.blob_type == "blob" and res.blob_index.endswith("blob_index")
+        assert res.blob_docs == 500 and res.commit_docs == 500
+        # blob index is searchable; commits table has the commit-doc shape
+        s = Searcher(spark, res.blob_index)
+        assert s.search("table", k=5, with_docs=False).count() == 5
+        commits = spark.read.parquet(res.commits_table)
+        row = commits.filter(F.col("docid") == 3).collect()[0]
+        assert row["author_name"] == "Author 3"
+        assert row["authored_at"].endswith("+0000")
+        assert row["id"].startswith("1_")
+
+    def test_skip_commits_and_wiki_routing(self, spark, tmp_path):
+        import os as _os
+
+        from gitlab_elasticsearch_indexer_spark.plans.routed_build import build_routed
+
+        root = str(tmp_path / "wiki")
+        pages = pages_from_documents(spark, SF_SMALL)
+        res = build_routed(
+            spark, pages, root, blob_type="wiki_blob", skip_commits=True
+        )
+        assert res.blob_index.endswith("wiki_blob_index")
+        assert res.commits_table is None and res.commit_docs == 0
+        assert not _os.path.exists(str(tmp_path / "wiki" / "commits"))
+        assert Searcher(spark, res.blob_index).search("table", k=3).count() == 3
+
+
 class TestDefaultAnalyzerEndToEnd:
     """The default chain (standard tokenizer + lowercase + KStem) driven
     through the REAL pipeline — build, codec, segments, scoring — and
