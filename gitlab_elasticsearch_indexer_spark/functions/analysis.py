@@ -94,16 +94,51 @@ def char_ngrams(text: str, min_gram: int = 2, max_gram: int = 3) -> list[str]:
     return out
 
 
-def word_delimiter_graph(token: str, preserve_original: bool = True) -> list[str]:
+def word_delimiter_graph(
+    token: str,
+    preserve_original: bool = True,
+    catenate_words: bool = False,
+    catenate_numbers: bool = False,
+    catenate_all: bool = False,
+) -> list[str]:
     """word_delimiter_graph with preserve_original=true (elastic/index.go:18-22).
 
     ``flatten_graph`` is implicit: we emit a flat token list (original first,
-    then sub-tokens in order), which is what the flattened graph indexes.
-    """
+    then catenations, then sub-tokens in order), which is what the flattened
+    graph indexes.  The catenate options mirror Lucene's:
+    ``catenate_words`` joins maximal runs of ≥2 alphabetic sub-words
+    ("wi-fi" → "wifi"), ``catenate_numbers`` joins digit runs
+    ("500-42" → "50042"), ``catenate_all`` joins every sub-part
+    ("wi-fi-4" → "wifi4").  The reference mapping sets none of them (only
+    preserve_original), so the code chain uses the defaults; they exist for
+    mapping-parity with custom analyzers."""
     parts = [p for p in _WDG_SPLIT_RE.split(token) if p]
     out: list[str] = []
     if preserve_original and (len(parts) != 1 or parts[0] != token):
         out.append(token)
+    if catenate_all and len(parts) > 1:
+        out.append("".join(parts))
+    if catenate_words or catenate_numbers:
+        run: list[str] = []
+        run_is_digit = False
+
+        def flush():
+            if len(run) > 1 and (
+                (run_is_digit and catenate_numbers)
+                or (not run_is_digit and catenate_words)
+            ):
+                joined = "".join(run)
+                if joined not in out:
+                    out.append(joined)
+
+        for p in parts:
+            d = p.isdigit()
+            if run and d == run_is_digit:
+                run.append(p)
+            else:
+                flush()
+                run, run_is_digit = [p], d
+        flush()
     out.extend(parts)
     return out
 
@@ -174,3 +209,33 @@ def tokenize_series(texts: pd.Series, analyzer: str = "default") -> pd.Series:
     Series[list[str]].  NaN/None -> empty list."""
     fn = ANALYZERS[analyzer]
     return texts.fillna("").map(fn)
+
+
+# ---------------------------------------------------------------------------
+# Offset-aware tokenization (index_options=offsets, §1.4)
+# ---------------------------------------------------------------------------
+def analyze_simple_offsets(text: str) -> list[tuple[str, int, int]]:
+    """simple chain with character offsets: (term, start, end) per token.
+    ``lower()`` is length-preserving for the corpus's scripts, so offsets
+    index into the ORIGINAL string (Lucene offset semantics)."""
+    return [
+        (m.group(0), m.start(), m.end()) for m in _SIMPLE_RE.finditer(text.lower())
+    ]
+
+
+def analyze_default_offsets(text: str) -> list[tuple[str, int, int]]:
+    """default chain with offsets: the stemmed term carries the ORIGINAL
+    token's offsets — token filters never move offsets (Lucene contract),
+    which is what makes highlighting work on stemmed indexes."""
+    from . import kstem
+
+    return [
+        (kstem.stem(m.group(0)), m.start(), m.end())
+        for m in _STANDARD_RE.finditer(text.lower())
+    ]
+
+
+OFFSET_ANALYZERS: dict[str, Callable[[str], list[tuple[str, int, int]]]] = {
+    "simple": analyze_simple_offsets,
+    "default": analyze_default_offsets,
+}

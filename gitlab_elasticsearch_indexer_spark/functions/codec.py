@@ -195,3 +195,35 @@ def decode_positions(buf: bytes, n_postings: int) -> list[np.ndarray]:
         out.append(np.cumsum(deltas))
         i += 1 + n
     return out
+
+
+def encode_offsets(offset_lists: list[tuple[np.ndarray, np.ndarray]]) -> bytes:
+    """Offsets payload (index_options=offsets, §1.4 — the reference stores
+    docs+freqs+positions+offsets on project-level fields,
+    elastic/index.go:208-218): per posting varint(n) + delta-coded start
+    offsets + (end-start) lengths."""
+    parts: list[np.ndarray] = []
+    for starts, ends in offset_lists:
+        starts = np.asarray(starts, dtype=np.int64)
+        ends = np.asarray(ends, dtype=np.int64)
+        deltas = np.diff(starts, prepend=np.int64(0))
+        lens = ends - starts
+        parts.append(
+            np.concatenate(([starts.size], deltas, lens)).astype(np.uint64)
+        )
+    if not parts:
+        return b""
+    return varint_encode(np.concatenate(parts))
+
+
+def decode_offsets(buf: bytes, n_postings: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    flat = varint_decode(buf).astype(np.int64)
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    i = 0
+    for _ in range(n_postings):
+        n = int(flat[i])
+        starts = np.cumsum(flat[i + 1 : i + 1 + n])
+        lens = flat[i + 1 + n : i + 1 + 2 * n]
+        out.append((starts, starts + lens))
+        i += 1 + 2 * n
+    return out

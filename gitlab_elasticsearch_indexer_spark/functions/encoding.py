@@ -33,6 +33,35 @@ except ImportError:  # pragma: no cover
 _FALLBACK_CHARSETS = ("shift_jis", "gb18030", "big5", "latin-1")
 _MIN_DETECT_BYTES = 8
 
+# ICU-like candidate ordering over charset_normalizer's match list: its
+# best() picks the FIRST of several equal-confidence candidates, which
+# misassigns e.g. long gb18030 text to cp949 and latin-1 French to cp1250.
+# Re-rank by (chaos asc, coherence desc, preferred-codec priority) — the
+# priority encodes the same "try in plausibility order" the reference's ICU
+# detector applies (indexer/encoding.go:56-80).  Verified against an
+# 8-encoding golden corpus in tests/test_functions.py.
+_CODEC_PRIORITY = {
+    "utf_8": 0,
+    "cp932": 1, "shift_jis": 1,
+    "gb18030": 2,
+    "big5": 3,
+    "cp949": 4, "euc_kr": 4,
+    "shift_jis_2004": 5, "euc_jis_2004": 5,
+    "cp1252": 6, "latin_1": 7, "cp1251": 8, "koi8_r": 9,
+}
+
+
+def _pick_candidate(matches):
+    ranked = sorted(
+        matches,
+        key=lambda m: (
+            round(m.chaos, 2),
+            -round(m.coherence, 2),
+            _CODEC_PRIORITY.get(m.encoding, 50),
+        ),
+    )
+    return ranked[0] if ranked else None
+
 
 def detect_binary(data: bytes | None) -> bool:
     """NUL byte within the first 8 KiB ⇒ binary (indexer/blob.go:20,132-139;
@@ -51,7 +80,7 @@ def try_encode_bytes(data: bytes | None) -> str:
     except UnicodeDecodeError:
         pass
     if _cn_from_bytes is not None and len(data) >= _MIN_DETECT_BYTES:
-        best = _cn_from_bytes(data).best()
+        best = _pick_candidate(list(_cn_from_bytes(data)))
         if best is not None:
             return str(best)
     for charset in _FALLBACK_CHARSETS:

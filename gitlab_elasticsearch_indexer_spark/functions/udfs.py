@@ -25,6 +25,27 @@ def transcode_udf(html: pd.Series) -> pd.Series:
     return encoding.try_encode_series(html)
 
 
+def make_offsets_tokenizer_udf(analyzer: str):
+    """Offset-aware tokenizer: ArrayType(Struct(term, start, end)) pandas
+    UDF for chains supporting index_options=offsets (simple, default)."""
+    fn = analysis.OFFSET_ANALYZERS[analyzer]
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("term", T.StringType()),
+                T.StructField("start", T.IntegerType()),
+                T.StructField("end", T.IntegerType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def tokenize_offsets_udf(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(fn)
+
+    return tokenize_offsets_udf
+
+
 def make_tokenizer_udf(analyzer: str):
     """Tokenizer chain as ArrayType(StringType) pandas UDF.
 

@@ -54,13 +54,67 @@ def brute_force_topk(
 
 
 def sign_bucket(vec: Column, dims: int = LSH_SIGN_DIMS) -> Column:
-    """Random-hyperplane LSH simplified to axis-aligned planes: the sign
-    pattern of the first ``dims`` coordinates."""
+    """Axis-aligned sign LSH: the sign pattern of the first ``dims``
+    coordinates.  Kept as the SQL-trivial oracle shape; real embeddings
+    (correlated, non-centered dims) need ``random_planes``/``rp_bucket``."""
     bits = [
         F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(dims)
     ]
     return F.concat(*bits)
+
+
+def random_planes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes for sign-LSH — the standard random
+    projection family (cosine-LSH): P[same bit] = 1 - θ/π.  Deterministic
+    across runs/parallelism so bucket assignment is reproducible."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def rp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of <vec, plane_i> for seeded random hyperplanes — all
+    JVM expressions (zip_with/aggregate over literal arrays), no Python."""
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def rp_bucket_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-projection sign-LSH: exact cosine within
+    the query's bucket.  Same plan shape as lsh_bucket_topk but with a
+    proper Gaussian hash family (recall on real embeddings)."""
+    planes = random_planes(dim, n_planes, seed)
+    bucketed = emb.withColumn("bucket", rp_bucket(F.col(vec_col), planes))
+    q = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    sim = F.round(cosine_col(F.col(vec_col), F.col("qvec")), 4).alias("cosine")
+    return (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col).cast("long").alias("vec_id"), sim)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def lsh_bucket_topk(
@@ -128,7 +182,15 @@ def ivf_topk(
         F_.col(vec_col).alias("arr"),
         array_to_vector(F_.col(vec_col).cast("array<double>")).alias("features"),
     )
-    train = feat.limit(100_000)
+    # deterministic hash-based training sample: limit() depends on partition
+    # order (rank-identity risk across cluster sizes), a hash filter doesn't.
+    # target ~100k rows regardless of corpus size via a modulus on the id hash.
+    n_total = feat.count()
+    if n_total > 100_000:
+        mod = max(1, n_total // 100_000)
+        train = feat.filter(F_.pmod(F_.xxhash64(F_.col("vec_id")), F_.lit(mod)) == 0)
+    else:
+        train = feat
     model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
     assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
 

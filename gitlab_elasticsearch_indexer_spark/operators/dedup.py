@@ -9,13 +9,23 @@ Operators:
 - exact_dups        — hash-groupBy on full content (one shuffle on a
                       64-hex key; count via window, no row explosion)
 - minhash_signatures— word-shingle MinHash (k lexicographic-min md5s; the
-                      hex-string min is order-isomorphic to the numeric min)
-- lsh_band_buckets  — band signatures → bucket sizes (the LSH bucket-join
-                      key; pairs only ever form inside a bucket, so the
-                      candidate join is |bucket|², never |corpus|²)
-- jaccard_pairs     — exact n-gram Jaccard verification over LSH candidates
-- simhash           — 16-bit SimHash from per-token md5 bits (distinct
-                      tokens, ±1 votes per bit)
+                      hex-string min is order-isomorphic to the numeric min).
+                      ``k`` is configurable — 4 for the compact oracle
+                      entries, 128 for production near-dup recall.
+- lsh_bands         — full b×r banding: (docid, band_id, band_key) rows,
+                      band_key = hash of r consecutive signature components.
+                      Candidates = docs sharing any (band_id, band_key).
+- lsh_band_buckets  — band-0 bucket histogram (back-compat oracle shape)
+- lsh_candidate_pairs — distinct candidate pairs across ALL bands (the real
+                      banding join), optionally capping pathological buckets
+- jaccard_pairs     — exact n-gram Jaccard verification over LSH candidates.
+                      Mega-clusters of identical docs make a bucket
+                      quadratic — collapse exact dups first (exact_dups) or
+                      pass ``max_bucket``.
+- simhash           — 16-bit SimHash (compact oracle shape)
+- simhash_hex       — 64-bit SimHash as a 16-hex-digit string (production
+                      shape; hex avoids 64-bit sign issues in both Spark and
+                      the SQL oracle)
 """
 
 from __future__ import annotations
@@ -81,11 +91,74 @@ def minhash_signatures(
     return out.drop("sh")
 
 
+def lsh_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 16,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """Full b×r banding → (docid, band_id, band_key).
+
+    k = n_bands·rows_per_band minhashes; band i's key hashes signature
+    components [i·r, (i+1)·r).  With (b, r) = (16, 8) a pair with Jaccard s
+    becomes a candidate with probability 1-(1-s⁸)¹⁶ — the standard S-curve
+    (~0.5 at s≈0.7).  At scale each (band_id, band_key) is one shuffle key:
+    bounded buckets, never an all-pairs join."""
+    k = n_bands * rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, k=k)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("docid", F.explode(bands).alias("b")).select(
+        "docid", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 16,
+    rows_per_band: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (a_docid < b_docid) across all bands.
+    ``max_bucket`` drops pathological buckets (e.g. a mega-cluster of
+    byte-identical docs — collapse those with exact_dups first)."""
+    bands = lsh_bands(df, id_col, text_col, n_bands, rows_per_band)
+    if max_bucket is not None:
+        bands = bands.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band_id", "band_key"))
+        ).filter(F.col("bsz") <= max_bucket).drop("bsz")
+    a = bands.select("band_id", "band_key", F.col("docid").alias("a_docid"))
+    b = bands.select("band_id", "band_key", F.col("docid").alias("b_docid"))
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a_docid") < F.col("b_docid"))
+        .select("a_docid", "b_docid")
+        .distinct()
+    )
+
+
 def lsh_band_buckets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", rows_per_band: int = 2
 ) -> DataFrame:
     """(band_key, n_docs) — bucket histogram for band 0 (mh0..mh{r-1}).
-    Near-duplicate candidates are exactly the docs sharing a band_key."""
+    Near-duplicate candidates are exactly the docs sharing a band_key.
+    (Compact oracle shape; the production path is lsh_bands /
+    lsh_candidate_pairs.)"""
     sig = minhash_signatures(df, id_col, text_col)
     band = F.concat_ws("_", *[F.col(f"mh{i}") for i in range(rows_per_band)])
     return (
@@ -126,6 +199,49 @@ def jaccard_pairs(
             F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
         )
     )
+
+
+def simhash_hex(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(docid, simhash_hex) — ``bits``-bit SimHash emitted as a hex string
+    (bits/4 chars, MSB first), sidestepping 64-bit sign/overflow issues in
+    both Spark (ANSI long) and the SQL oracle.
+
+    Bit j of a token's hash = bit (j div 32) of hex nibble (j mod 32) of
+    md5(token) — 64 independent bits from one 128-bit digest, all JVM
+    expressions.  Hamming distance for near-dup thresholds works per hex
+    digit downstream."""
+    assert bits % 4 == 0 and bits <= 128
+    tok = (
+        df.select(
+            F.col(id_col).cast("long").alias("docid"),
+            F.explode(_toks(F.col(text_col))).alias("term"),
+        )
+        .distinct()
+        .withColumn("h", _md5(F.col("term")))
+    )
+    nibble = lambda p: F.conv(F.substring("h", p + 1, 1), 16, 10).cast("int")
+    votes = [
+        F.sum(
+            F.when((nibble(j % 32).bitwiseAND(F.lit(1 << (j // 32)))) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("docid").agg(*votes)
+    n_digits = bits // 4
+    digits = [
+        F.format_string(
+            "%x",
+            sum(
+                F.when(F.col(f"v{(n_digits - 1 - c) * 4 + i}") > 0, 1 << i).otherwise(0)
+                for i in range(4)
+            ),
+        )
+        for c in range(n_digits)
+    ]
+    return agg.select("docid", F.concat(*digits).alias("simhash_hex"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

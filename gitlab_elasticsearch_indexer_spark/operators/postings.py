@@ -72,7 +72,7 @@ _KERNEL_COLS = ["tid"] + [f.name for f in SEGMENTS.fields if f.name not in ("ter
 _KERNEL_SCHEMA = (
     "tid long, docid_range long, block_idx int, n_docs int, first_docid long, "
     "max_docid long, max_tf int, min_dl int, sum_tf long, max_tfn double, "
-    "docids_enc binary, tfs_enc binary, positions_enc binary"
+    "docids_enc binary, tfs_enc binary, positions_enc binary, offsets_enc binary"
 )
 
 
@@ -84,6 +84,7 @@ def _encode_group(
     dls: np.ndarray,
     avgdl: float,
     pos_lists: list[np.ndarray] | None,
+    off_lists: list[tuple[np.ndarray, np.ndarray]] | None = None,
 ) -> list[tuple]:
     """One (tid, docid_range) posting group (already docid-sorted) → block rows."""
     tfn = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls / avgdl)))
@@ -111,12 +112,19 @@ def _encode_group(
                     if pos_lists is not None
                     else None
                 ),
+                (
+                    codec.encode_offsets(off_lists[start : start + BLOCK_SIZE])
+                    if off_lists is not None
+                    else None
+                ),
             )
         )
     return rows
 
 
-def make_partition_kernel(avgdl: float, with_positions: bool = False):
+def make_partition_kernel(
+    avgdl: float, with_positions: bool = False, with_offsets: bool = False
+):
     """mapInPandas kernel over a partition sorted by (tid, docid [, pos]):
     run-length tf + block encoding, int64 numpy end to end."""
 
@@ -132,6 +140,8 @@ def make_partition_kernel(avgdl: float, with_positions: bool = False):
         dls = pdf["dl"].to_numpy(dtype=np.int64)
         ranges = docids // DOCS_PER_RANGE
         poss = pdf["pos"].to_numpy(dtype=np.int64) if with_positions else None
+        starts_arr = pdf["start"].to_numpy(dtype=np.int64) if with_offsets else None
+        ends_arr = pdf["end"].to_numpy(dtype=np.int64) if with_offsets else None
 
         # posting boundaries: first occurrence of each (tid, docid) run
         new_posting = np.ones(len(pdf), dtype=bool)
@@ -156,6 +166,12 @@ def make_partition_kernel(avgdl: float, with_positions: bool = False):
             pos_lists = None
             if with_positions:
                 pos_lists = [poss[p_start[i] : p_end[i]] for i in range(gs, ge)]
+            off_lists = None
+            if with_offsets:
+                off_lists = [
+                    (starts_arr[p_start[i] : p_end[i]], ends_arr[p_start[i] : p_end[i]])
+                    for i in range(gs, ge)
+                ]
             rows.extend(
                 _encode_group(
                     int(p_tids[gs]),
@@ -165,6 +181,7 @@ def make_partition_kernel(avgdl: float, with_positions: bool = False):
                     p_dls[gs:ge],
                     avgdl,
                     pos_lists,
+                    off_lists,
                 )
             )
             if len(rows) >= 4096:  # bound Arrow batch size
@@ -187,9 +204,12 @@ def term_dictionary(occurrences: DataFrame) -> DataFrame:
 
 
 def build_segments(
-    occurrences: DataFrame, avgdl: float, with_positions: bool = False
+    occurrences: DataFrame,
+    avgdl: float,
+    with_positions: bool = False,
+    with_offsets: bool = False,
 ) -> DataFrame:
-    """Token occurrences (docid, term, dl [, pos]) → SEGMENTS.
+    """Token occurrences (docid, term, dl [, pos [, start, end]]) → SEGMENTS.
 
     Raises on a tid (xxhash64) collision in the dictionary — with 64-bit
     hashes this is ~10^-6 even at 10^7-term vocabularies; a collision would
@@ -210,7 +230,7 @@ def build_segments(
 
     cols = ["docid", "dl", F.xxhash64("term").alias("tid")] + (
         ["pos"] if with_positions else []
-    )
+    ) + (["start", "end"] if with_offsets else [])
     num = occurrences.select(*cols)
     # partition key (tid, docid>>13) passed as an expression — docid_range is
     # derivable, so materializing it would add 8 bytes/row of shuffle volume
@@ -219,7 +239,8 @@ def build_segments(
     sort_cols = ["tid", "docid"] + (["pos"] if with_positions else [])
     part = num.repartition(F.col("tid"), range_expr).sortWithinPartitions(*sort_cols)
     blocks = part.mapInPandas(
-        make_partition_kernel(avgdl, with_positions), schema=_KERNEL_SCHEMA
+        make_partition_kernel(avgdl, with_positions, with_offsets),
+        schema=_KERNEL_SCHEMA,
     )
     # reattach term strings at block granularity (blocks ≪ postings);
     # broadcast is right while the dictionary fits — Spark falls back to a

@@ -51,15 +51,36 @@ def field_occurrences(
     analyzer: str,
     with_positions: bool = False,
     extra_fields: dict[str, str] | None = None,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """docs (with dl + dl_<field> columns) → token occurrences
-    (docid, dl, term [, pos]) for the content field plus every extra field,
-    extra-field terms namespaced ``<field>\\x1f<token>``.
+    (docid, dl, term [, pos [, start, end]]) for the content field plus
+    every extra field, extra-field terms namespaced ``<field>\\x1f<token>``.
 
     Shared by the full build and incremental range rebuilds so both produce
     byte-identical segments for the same doc set (a rebuild that dropped
-    positions or field occurrences would corrupt the index contract)."""
+    positions or field occurrences would corrupt the index contract).
+
+    ``with_offsets`` (index_options=offsets, elastic/index.go:208-218)
+    implies positions and is scoped to the content field — extra fields are
+    rejected to keep the occurrence schema uniform."""
     extra_fields = extra_fields or {}
+    if with_offsets:
+        if extra_fields:
+            raise ValueError("with_offsets supports the content field only")
+        from ..functions.udfs import make_offsets_tokenizer_udf
+
+        offs = make_offsets_tokenizer_udf(analyzer)(F.col("content"))
+        return docs.select(
+            "docid", "dl", F.posexplode(offs).alias("pos", "t")
+        ).select(
+            "docid",
+            "dl",
+            "pos",
+            F.col("t.term").alias("term"),
+            F.col("t.start").alias("start"),
+            F.col("t.end").alias("end"),
+        )
     toks = tokens_expr(analyzer)
     if with_positions:
         occ = docs.select("docid", "dl", F.posexplode(toks).alias("pos", "term"))
@@ -98,6 +119,7 @@ def build_index(
     docid_col: str = "doc_id",
     extra_fields: dict[str, str] | None = None,
     range_batches: int = 1,
+    with_offsets: bool = False,
     _fail_after_batches: int | None = None,
 ) -> cat.Catalog:
     """``extra_fields``: additional doc columns to index, column → analyzer —
@@ -107,6 +129,8 @@ def build_index(
     per-field dl/avgdl for correct per-field BM25."""
     t0 = time.time()
     extra_fields = extra_fields or {}
+    if with_offsets:
+        with_positions = True  # Lucene: the offsets option includes positions
     docs_src = build_docs(pages, project_id=project_id, docid_col=docid_col).withColumn(
         "dl", F.size(tokens_expr(analyzer)).cast("int")
     )
@@ -171,7 +195,9 @@ def build_index(
     )
 
     def occurrences_for(batch_docs: DataFrame) -> DataFrame:
-        return field_occurrences(batch_docs, analyzer, with_positions, extra_fields)
+        return field_occurrences(
+            batch_docs, analyzer, with_positions, extra_fields, with_offsets
+        )
 
     # Checkpointed, batched segment build (north rule O1/O7): docid_ranges
     # are assigned to ``range_batches`` deterministic batches (rng mod B) and
@@ -227,7 +253,8 @@ def build_index(
                 )
                 batch_stats = batch_stats.join(done_df, "rng", "left_anti")
         segments = build_segments(
-            occurrences_for(batch_docs), avgdl=avgdl, with_positions=with_positions
+            occurrences_for(batch_docs), avgdl=avgdl,
+            with_positions=with_positions, with_offsets=with_offsets,
         )
         mode = "append" if (done_df is not None or i > 0) else "overwrite"
         # cluster block rows by bucket first: without this every write task
@@ -269,6 +296,7 @@ def build_index(
         snapshot=snapshot,
         with_positions=with_positions,
         fields=field_meta or None,
+        with_offsets=with_offsets,
     )
     cat.write_catalog(index_dir, catalog)
     cat.commit_snapshot(index_dir, snapshot)

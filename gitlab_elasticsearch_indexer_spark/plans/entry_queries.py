@@ -775,6 +775,44 @@ SELECT CAST(doc_id AS BIGINT) AS docid, CAST({_SIMHASH_SUM} AS BIGINT) AS simhas
 )
 
 
+# --- dedup_simhash64: production 64-bit SimHash as hex (sign-safe) ---------
+def _dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_hex
+
+    return simhash_hex(_documents(spark, sf_dir), bits=64)
+
+
+# bit j = bit (j div 32) of md5 hex nibble (j mod 32); MSB-first hex digits
+_SIMHASH64_VOTES = ", ".join(
+    "sum(CASE WHEN ((('0x' || substring(md5(term), {p}, 1))::INT >> {s}) & 1) = 1 "
+    "THEN 1 ELSE -1 END) AS v{j}".format(p=(j % 32) + 1, s=j // 32, j=j)
+    for j in range(64)
+)
+_SIMHASH64_DIGITS = " || ".join(
+    "printf('%x', "
+    + " + ".join(
+        f"(CASE WHEN v{(15 - c) * 4 + i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+    + ")"
+    for c in range(16)
+)
+
+register(
+    "dedup_simhash64",
+    _dedup_simhash64,
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents
+  ) WHERE term <> ''
+),
+votes AS (SELECT doc_id, {_SIMHASH64_VOTES} FROM toks GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS docid, {_SIMHASH64_DIGITS} AS simhash_hex FROM votes
+""",
+)
+
+
 # ===========================================================================
 # Similarity-search entries
 # ===========================================================================
@@ -828,6 +866,45 @@ register(
     _ann_lsh,
     f"""
 WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id, {_COS_SQL} AS cosine
+FROM b e JOIN (SELECT embedding, bucket FROM b WHERE vec_id = 0) q ON e.bucket = q.bucket
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 5
+""",
+)
+
+
+# --- ann_lsh_rp_topk: seeded random-projection sign-LSH (the production
+# hash family — axis-sign buckets have poor recall on real embeddings) ------
+from ..operators.ann import random_planes as _random_planes
+
+_RP_PLANES = _random_planes(64, 8, seed=7)
+
+
+def _ann_lsh_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import rp_bucket_topk
+
+    return rp_bucket_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=5, dim=64)
+
+
+def _rp_dot_sql(plane: list[float]) -> str:
+    # identical left-to-right summation order as Spark's aggregate fold, so
+    # the sign (and hence bucket membership) matches bit-for-bit
+    terms = " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * ({x!r})" for i, x in enumerate(plane)
+    )
+    return f"({terms})"
+
+
+_RP_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN {_rp_dot_sql(p)} >= 0 THEN '1' ELSE '0' END)" for p in _RP_PLANES
+)
+
+register(
+    "ann_lsh_rp_topk",
+    _ann_lsh_rp,
+    f"""
+WITH b AS (SELECT vec_id, embedding, {_RP_BUCKET_SQL} AS bucket FROM embeddings)
 SELECT CAST(e.vec_id AS BIGINT) AS vec_id, {_COS_SQL} AS cosine
 FROM b e JOIN (SELECT embedding, bucket FROM b WHERE vec_id = 0) q ON e.bucket = q.bucket
 WHERE e.vec_id <> 0
@@ -1135,20 +1212,43 @@ FROM events GROUP BY 1, 2
 
 
 def _code_analyzer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """code_analyzer chain (A2+A5+A8+A9) over synthetic identifiers — the
-    word_delimiter_graph path has no tractable SQL twin; golden-tested in
-    tests/test_functions.py instead."""
+    """code_analyzer chain (A2+A9+A6+A8+A5) over synthetic identifiers
+    ``getValue_<source>Impl`` — the word_delimiter_graph split points
+    (case/digit transitions, non-alnum runs) + preserve_original + edge
+    ngrams 2-40 have a hand-writable SQL twin for this ident shape."""
     from ..functions.udfs import make_tokenizer_udf
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("docid"),
         F.concat(F.lit("getValue_"), F.col("source"), F.lit("Impl")).alias("ident"),
-    ).limit(40)
+    ).filter(F.col("docid") < 40)
     tok = make_tokenizer_udf("code")
     return docs.select("docid", F.explode(tok(F.col("ident"))).alias("token"))
 
 
-register("code_analyzer_tokens", _code_analyzer_tokens, None)
+register(
+    "code_analyzer_tokens",
+    _code_analyzer_tokens,
+    """
+WITH ids AS (
+  SELECT doc_id,
+         lower('getValue_' || source || 'Impl') AS orig,
+         regexp_replace(lower(source), '[0-9]+', '', 'g') AS letters,
+         regexp_replace(lower(source), '[a-z]+', '', 'g') AS digits
+  FROM documents WHERE doc_id < 40
+),
+parts AS (
+  SELECT doc_id,
+         unnest(list_filter([orig, 'get', 'value', letters, digits, 'impl'],
+                            p -> length(p) >= 2)) AS part
+  FROM ids
+)
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       unnest(list_transform(generate_series(2, least(40, length(part))),
+                             i -> substring(part, 1, i))) AS token
+FROM parts
+""",
+)
 
 
 # ===========================================================================
@@ -1389,7 +1489,34 @@ def _doc_envelope_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return env.orderBy("id").limit(20)
 
 
-register("doc_envelope_json", _doc_envelope_json, None)
+# DuckDB json_object preserves key order and prints compact — byte-identical
+# to Spark's to_json over the same struct order
+register(
+    "doc_envelope_json",
+    _doc_envelope_json,
+    f"""
+WITH d AS (
+  SELECT '1_' || {_URL_SQL} AS id,
+         {_URL_SQL} AS url,
+         'doc' || CAST(doc_id AS VARCHAR) || '.html' AS file_name,
+         lang,
+         strftime(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND,
+                  '%Y%m%dT%H%M%S') || '+0000' AS updated_at
+  FROM documents
+)
+SELECT id,
+       CAST(json_object(
+         'blob', json_object('path', url, 'file_name', file_name,
+                             'language', lang, 'updated_at', updated_at),
+         'type', 'blob',
+         'join_field', json_object('name', 'blob', 'parent', 'project_1'),
+         'project_id', 1,
+         'visibility_level', 0
+       ) AS VARCHAR) AS envelope
+FROM d
+ORDER BY id LIMIT 20
+""",
+)
 
 
 # ===========================================================================
@@ -1540,14 +1667,63 @@ ORDER BY round(raw, 4) DESC, docid ASC LIMIT 5
 def _ft_field_code_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """code_analyzer field search (whitespace + word_delimiter_graph +
     edge_ngram): prefix query 'doc12' matches file_name 'doc12*.html' via
-    edge-grams.  No tractable SQL twin (graph analyzer) → rows-only."""
+    edge-grams, scored with the FIELD's own dl/avgdl/df stats."""
     s = _multifield_searcher(spark, sf_dir)
-    return s.search("doc12", k=10, field="file_name", with_docs=False).select(
-        "docid", F.round("score", 4).alias("score")
+    hits = s.search("doc12", k=60, field="file_name", mode="exhaustive", with_docs=False)
+    return (
+        hits.select("docid", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
     )
 
 
-register("ft_field_code_search", _ft_field_code_search, None)
+def _code_query_terms() -> list[str]:
+    from ..functions.analysis import analyze_code
+
+    return list(dict.fromkeys(analyze_code("doc12")))
+
+
+register(
+    "ft_field_code_search",
+    _ft_field_code_search,
+    f"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(list_filter(['doc' || CAST(doc_id AS VARCHAR) || '.html',
+                             'doc', CAST(doc_id AS VARCHAR), 'html'],
+                            p -> length(p) >= 2)) AS part
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(2, least(40, length(part))),
+                               i -> substring(part, 1, i))) AS term
+  FROM parts
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(c.dl, 0) AS INT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) c USING (doc_id)
+),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+qterms AS (SELECT unnest([{", ".join(repr(t) for t in _code_query_terms())}]) AS term),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS docid,
+         sum( ln(1 + (consts.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / consts.avgdl)) ) AS raw
+  FROM tf JOIN qterms USING (term) JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN consts
+  GROUP BY tf.doc_id
+)
+SELECT docid, round(raw, 4) AS score FROM scored
+ORDER BY round(raw, 4) DESC, docid ASC LIMIT 10
+""",
+)
 
 
 # --- ft_bm25_and: conjunctive match query (ES operator:and, Q2 variant) ----
@@ -1655,13 +1831,26 @@ def _ft_bm25_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("ft_bm25_default_topk", _ft_bm25_default, None)
 
 
-# --- ann_ivf_topk: KMeans coarse quantizer + probe-limited exact cosine ----
+# --- ann_ivf_topk: KMeans coarse quantizer, FULL probe — degrades exactly
+# to brute force, so the brute-force SQL is a true oracle over the entire
+# IVF plumbing (assignment, cell pruning, cosine).  Approximate n_probe<k
+# recall is pytest-verified (tests/test_ann.py).
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (rows-only: KMeans has no SQL
-    twin); full-probe degradation to exact search is pytest-verified."""
     from ..operators.ann import ivf_topk
 
-    return ivf_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=10)
+    return ivf_topk(
+        _embeddings(spark, sf_dir), query_vec_id=0, k=10,
+        n_clusters=16, n_probe=16,
+    )
 
 
-register("ann_ivf_topk", _ann_ivf, None)
+register(
+    "ann_ivf_topk",
+    _ann_ivf,
+    f"""
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id, {_COS_SQL} AS cosine
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)

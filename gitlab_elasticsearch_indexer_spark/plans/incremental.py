@@ -111,13 +111,17 @@ def apply_delta(
         ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).isin(affected_ranges)
     )
     rebuild_occ = field_occurrences(
-        rebuild_docs, old.analyzer, old.with_positions, field_analyzers
+        rebuild_docs, old.analyzer, old.with_positions, field_analyzers,
+        with_offsets=old.with_offsets,
     )
     seg_keep = seg_old.filter(~F.col("docid_range").isin(affected_ranges))
     seg_new = build_segments(
-        rebuild_occ, avgdl=avgdl, with_positions=old.with_positions
+        rebuild_occ, avgdl=avgdl, with_positions=old.with_positions,
+        with_offsets=old.with_offsets,
     )
-    segments = seg_keep.unionByName(seg_new)
+    # allowMissingColumns: indexes written before the offsets_enc column
+    # existed read as 13-column segments; rebuilt rows carry the full schema
+    segments = seg_keep.unionByName(seg_new, allowMissingColumns=True)
 
     sd = cat.snapshot_dir(index_dir, new_snapshot)
     docs_new.write.mode("overwrite").parquet(f"{sd}/docs")
@@ -150,6 +154,7 @@ def apply_delta(
         snapshot=new_snapshot,
         with_positions=old.with_positions,
         fields=new_fields_meta or None,
+        with_offsets=old.with_offsets,
     )
     cat.write_catalog(index_dir, catalog)
     cat.commit_snapshot(index_dir, new_snapshot)

@@ -95,6 +95,7 @@ SEGMENTS = T.StructType(
         T.StructField("docids_enc", T.BinaryType(), False),  # delta+varint
         T.StructField("tfs_enc", T.BinaryType(), False),     # varint
         T.StructField("positions_enc", T.BinaryType(), True),  # optional, per-field index_options
+        T.StructField("offsets_enc", T.BinaryType(), True),    # optional, index_options=offsets
     ]
 )
 

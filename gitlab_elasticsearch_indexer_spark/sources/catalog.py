@@ -43,6 +43,9 @@ class Catalog:
     # "dl_col": ...}. The default "content" field uses the top-level
     # analyzer/avgdl and unprefixed terms.
     fields: dict | None = None
+    # index_options=offsets (elastic/index.go:208-218): segments carry an
+    # offsets_enc payload enabling highlighting
+    with_offsets: bool = False
 
 
 def snapshot_dir(index_dir: str, snapshot: str) -> str:

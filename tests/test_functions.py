@@ -207,6 +207,37 @@ class TestCodec:
         for a, b in zip(lists, dec):
             assert np.array_equal(a, b)
 
+    def test_offsets_roundtrip(self):
+        lists = [
+            (np.array([0, 10, 25]), np.array([4, 15, 31])),
+            (np.array([7]), np.array([9])),
+            (np.array([], dtype=np.int64), np.array([], dtype=np.int64)),
+        ]
+        enc = codec.encode_offsets(lists)
+        dec = codec.decode_offsets(enc, 3)
+        for (s1, e1), (s2, e2) in zip(lists, dec):
+            assert np.array_equal(s1, s2) and np.array_equal(e1, e2)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**20),
+                st.integers(min_value=1, max_value=100),
+            ),
+            min_size=0,
+            max_size=30,
+        )
+    )
+    def test_offsets_roundtrip_property(self, spans):
+        spans = sorted(spans)
+        starts = np.array([s for s, _ in spans], dtype=np.int64)
+        ends = starts + np.array([l for _, l in spans], dtype=np.int64)
+        lists = [(starts, ends), (starts[:1], ends[:1])]
+        dec = codec.decode_offsets(codec.encode_offsets(lists), 2)
+        for (s1, e1), (s2, e2) in zip(lists, dec):
+            assert np.array_equal(s1, s2) and np.array_equal(e1, e2)
+
     @settings(max_examples=200, deadline=None)
     @given(
         st.lists(st.integers(min_value=0, max_value=2**62), min_size=0, max_size=50)
@@ -280,3 +311,123 @@ class TestForCodec:
         vals = np.array(xs, dtype=np.uint64)
         enc = codec.block_encode(vals)
         assert np.array_equal(codec.block_decode(enc, len(vals)), vals)
+
+
+class TestLangIdNgram:
+    """Trigram-profile + script-gate language detector (operators/langid.py)."""
+
+    def test_script_gates(self):
+        from gitlab_elasticsearch_indexer_spark.operators.langid import (
+            detect_language,
+        )
+
+        assert detect_language("政府宣布了一项新政策")[0] == "zh"
+        assert detect_language("これはテストです")[0] == "ja"
+        assert detect_language("정부는 새로운 정책을 발표했다")[0] == "ko"
+        assert detect_language("Правительство объявило новую политику")[0] == "ru"
+
+    def test_latin_profiles(self):
+        from gitlab_elasticsearch_indexer_spark.operators.langid import (
+            detect_language,
+        )
+
+        cases = {
+            "The government announced a new policy for the schools": "en",
+            "El gobierno anuncio una nueva politica para el desarrollo de las escuelas en todo el pais": "es",
+            "Die Regierung hat eine neue Politik fur die Schulen angekundigt": "de",
+            "Le gouvernement a annonce une nouvelle politique pour les ecoles": "fr",
+            "Il governo ha annunciato una nuova politica per le scuole": "it",
+            "O governo anunciou uma nova politica para as escolas": "pt",
+            "De regering heeft een nieuw beleid voor de scholen aangekondigd": "nl",
+        }
+        for text, want in cases.items():
+            got, conf = detect_language(text)
+            assert got == want, (text, got, conf)
+            assert conf > 0.15
+
+    def test_conservative_und(self):
+        from gitlab_elasticsearch_indexer_spark.operators.langid import (
+            detect_language,
+        )
+
+        assert detect_language("")[0] == "und"
+        assert detect_language("xqz zyw qqq 12345")[0] == "und"
+
+    def test_dataframe_operator(self, spark):
+        import pandas as pd
+
+        from gitlab_elasticsearch_indexer_spark.operators.langid import (
+            language_id_ngram,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        "The government announced a new policy for the schools",
+                        "El gobierno anuncio una nueva politica para el desarrollo de las escuelas del pais",
+                        "これはテストです",
+                    ],
+                }
+            )
+        )
+        got = language_id_ngram(df).toPandas().sort_values("docid")
+        assert got["pred_lang"].tolist() == ["en", "es", "ja"]
+
+
+class TestWdgCatenate:
+    """word_delimiter_graph catenate options (Lucene parity; the reference
+    mapping sets only preserve_original, so defaults are unchanged)."""
+
+    def test_catenate_words(self):
+        assert analysis.word_delimiter_graph("wi-fi", catenate_words=True) == [
+            "wi-fi", "wifi", "wi", "fi",
+        ]
+
+    def test_catenate_numbers(self):
+        assert analysis.word_delimiter_graph("500-42", catenate_numbers=True) == [
+            "500-42", "50042", "500", "42",
+        ]
+
+    def test_catenate_all(self):
+        assert analysis.word_delimiter_graph("wi-fi-4", catenate_all=True) == [
+            "wi-fi-4", "wifi4", "wi", "fi", "4",
+        ]
+
+    def test_mixed_runs(self):
+        # words run joins only the alpha run; the digit part stays separate
+        assert analysis.word_delimiter_graph("wi-fi-4", catenate_words=True) == [
+            "wi-fi-4", "wifi", "wi", "fi", "4",
+        ]
+
+    def test_defaults_unchanged(self):
+        assert analysis.word_delimiter_graph("fooBar_baz-1") == [
+            "fooBar_baz-1", "foo", "Bar", "baz", "1",
+        ]
+
+
+class TestEncodingCandidateOrdering:
+    """Wider-corpus candidate-ordering goldens (reference ICU chain,
+    indexer/encoding.go:56-80): the detector must pick the charset that
+    round-trips the original text, not just the first plausible codec."""
+
+    @pytest.mark.parametrize(
+        "text,enc",
+        [
+            ("héllo wörld — ünïcode ✓", "utf-8"),
+            ("voilà un café très tôt l'été dernier près de la fenêtre", "latin-1"),
+            ("這是一個測試文件，請合併這些更改。", "big5"),
+            ("这是一个测试文档，请合并这些更改。", "gb18030"),
+            (
+                "这是一个测试文档，请合并这些更改。文档包含许多中文字符，"
+                "用于测试字符集检测的正确性。",
+                "gb18030",
+            ),
+            ("これはテストです。マージして下さい。", "shift_jis"),
+            ("이것은 테스트입니다. 병합해 주세요.", "euc-kr"),
+            ("Это тестовый документ, пожалуйста объедините изменения.", "cp1251"),
+        ],
+    )
+    def test_roundtrip(self, text, enc):
+        assert encoding.try_encode_bytes(text.encode(enc)) == text

@@ -296,6 +296,78 @@ class TestPhraseSearch:
             s.phrase_search("data query")
 
 
+class TestOffsetsAndHighlight:
+    """index_options=offsets (elastic/index.go:208-218): offsets payload
+    stored per posting, spans decode back to the exact regex occurrences,
+    highlighting cuts snippets without re-analysis."""
+
+    @pytest.fixture(scope="class")
+    def offsets_idx(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("offidx"))
+        build_index(
+            spark, pages_from_documents(spark, SF_SMALL), d,
+            snapshot="s1", with_offsets=True,
+        )
+        return d
+
+    def test_spans_match_regex_oracle(self, spark, offsets_idx):
+        import re
+
+        from gitlab_elasticsearch_indexer_spark.operators.highlight import (
+            term_offsets,
+        )
+
+        s = Searcher(spark, offsets_idx)
+        assert s.catalog.with_offsets and s.catalog.with_positions
+        got = (
+            term_offsets(s.segments, "customer")
+            .toPandas()
+            .sort_values(["docid", "start"])
+            .reset_index(drop=True)
+        )
+        docs = s.docs.select("docid", "content").toPandas()
+        expect = []
+        for r in docs.itertuples(index=False):
+            for m in re.finditer(r"[a-z0-9]+", r.content.lower()):
+                if m.group(0) == "customer":
+                    expect.append((r.docid, m.start(), m.end()))
+        expect.sort()
+        assert list(map(tuple, got.itertuples(index=False))) == expect
+        assert len(expect) > 0
+
+    def test_highlight_snippets(self, spark, offsets_idx):
+        from gitlab_elasticsearch_indexer_spark.operators.highlight import (
+            highlight_term,
+        )
+
+        s = Searcher(spark, offsets_idx)
+        frags = highlight_term(s.segments, s.docs, "customer", window=10).toPandas()
+        assert len(frags) > 0
+        assert all("«" in x and "»" in x for x in frags["snippet"])
+        # the wrapped region is exactly the matched term (case-insensitive)
+        for x in frags["snippet"]:
+            inner = x.split("«")[1].split("»")[0]
+            assert inner.lower() == "customer"
+
+    def test_search_still_rank_identical_with_offsets(self, spark, offsets_idx):
+        s = Searcher(spark, offsets_idx)
+        ex = s.search("spark data query", k=10, mode="exhaustive", with_docs=False).toPandas()
+        bm = s.search("spark data query", k=10, mode="blockmax", with_docs=False).toPandas()
+        assert ex["docid"].tolist() == bm["docid"].tolist()
+
+    def test_phrase_works_on_offsets_index(self, spark, offsets_idx):
+        s = Searcher(spark, offsets_idx)
+        assert s.phrase_search("data query", k=5).count() == 5
+
+    def test_offsets_with_extra_fields_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="content field only"):
+            build_index(
+                spark, pages_from_documents(spark, SF_SMALL),
+                str(tmp_path / "bad"), with_offsets=True,
+                extra_fields={"url": "path"},
+            )
+
+
 class TestRoutedBuild:
     """F5/K5: one job produces two doc-type tables — blob full-text index +
     commits meta table — with --skip-commits gating and wiki_blob routing
