@@ -52,13 +52,18 @@ def bm25_score_col(tf: Column, dl: Column, idf: Column, avgdl: float) -> Column:
 
 def filter_segments_for_terms(segments: DataFrame, terms: list[str]) -> DataFrame:
     """Routing-style pruning: restrict to the terms' hash buckets (partition
-    pruning on the parquet layout) then the exact terms (row-group pushdown)."""
+    pruning on the parquet layout) then the exact terms (row-group pushdown).
+
+    Buckets are computed DRIVER-SIDE with the pure-Python xxhash64 twin
+    (functions/xxhash.py, golden-tested ≡ Spark's) — zero Spark jobs spent
+    learning the routing key, the same way an ES client routes without
+    asking the cluster."""
     if not terms:
         return segments.limit(0)
-    term_df = segments.sparkSession.createDataFrame(
-        [(t,) for t in terms], "term string"
-    ).withColumn("bucket", bucket_col(F.col("term")))
-    buckets = sorted({r["bucket"] for r in term_df.select("bucket").collect()})
+    from ..config import N_TERM_BUCKETS
+    from ..functions.xxhash import term_bucket
+
+    buckets = sorted({term_bucket(t, N_TERM_BUCKETS) for t in terms})
     return segments.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )

@@ -91,15 +91,19 @@ def apply_delta(
     }
 
     # Affected ranges: every docid that was removed, replaced, or added.
+    # Stays a DATAFRAME — a bulk delta (e.g. a full re-crawl) can touch
+    # every range, and a collected list would put n_docs/8192 entries on
+    # the driver; semi/anti-joins keep the rebuild fully distributed.
+    range_expr = (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
     removed_docids = docs_old.join(
         F.broadcast(removals.unionByName(puts.select("url"))), "url", "left_semi"
     ).select("docid")
     affected = (
         removed_docids.unionByName(new_docs.select("docid"))
-        .select(((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).alias("r"))
+        .select(range_expr.alias("docid_range"))
         .distinct()
+        .cache()
     )
-    affected_ranges = [r["r"] for r in affected.collect()]
 
     # Rebuild only affected ranges from the NEW doc set; carry the rest over.
     # Occurrence generation goes through the SAME path as the full build
@@ -107,14 +111,14 @@ def apply_delta(
     # field-namespaced terms on positions / multi-field indexes.
     from .build_index import field_occurrences
 
-    rebuild_docs = docs_new.filter(
-        ((F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")).isin(affected_ranges)
+    rebuild_docs = docs_new.join(
+        affected, range_expr == affected["docid_range"], "left_semi"
     )
     rebuild_occ = field_occurrences(
         rebuild_docs, old.analyzer, old.with_positions, field_analyzers,
         with_offsets=old.with_offsets,
     )
-    seg_keep = seg_old.filter(~F.col("docid_range").isin(affected_ranges))
+    seg_keep = seg_old.join(affected, "docid_range", "left_anti")
     seg_new = build_segments(
         rebuild_occ, avgdl=avgdl, with_positions=old.with_positions,
         with_offsets=old.with_offsets,
@@ -134,15 +138,22 @@ def apply_delta(
         f"{sd}/term_stats"
     )
 
-    lineage = spark.createDataFrame(
-        [
-            (str(r), old.snapshot, new_snapshot, 0, 0, "done", 0)
-            for r in affected_ranges
-        ]
-        or [("-", old.snapshot, new_snapshot, 0, 0, "done", 0)],
-        LINEAGE,
+    # lineage written distributively from the affected-range DataFrame
+    lineage = affected.select(
+        F.col("docid_range").cast("string").alias("partition_key"),
+        F.lit(old.snapshot).alias("from_snapshot"),
+        F.lit(new_snapshot).alias("to_snapshot"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit("done").alias("status"),
+        F.lit(0).cast("long").alias("wall_ms"),
     )
     lineage.write.mode("overwrite").parquet(f"{sd}/lineage")
+    if spark.read.parquet(f"{sd}/lineage").isEmpty():
+        spark.createDataFrame(
+            [("-", old.snapshot, new_snapshot, 0, 0, "done", 0)], LINEAGE
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sd}/lineage")
+    affected.unpersist()
 
     catalog = cat.Catalog(
         n_docs=n_docs,

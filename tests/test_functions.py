@@ -431,3 +431,48 @@ class TestEncodingCandidateOrdering:
     )
     def test_roundtrip(self, text, enc):
         assert encoding.try_encode_bytes(text.encode(enc)) == text
+
+
+class TestXxhash64Parity:
+    """Pure-Python XXH64 must equal Spark's xxhash64 (seed 42) — golden
+    values captured from Spark 4.1.2; bucket routing depends on it."""
+
+    def test_goldens(self):
+        from gitlab_elasticsearch_indexer_spark.functions.xxhash import (
+            xxhash64_str,
+        )
+
+        want = {
+            "spark": -1960931134668248110,
+            "data": 855993906250239212,
+            "query": -4287959945687995512,
+            "a": -8582455328737087284,
+            "customer": -8146978097367304398,
+            "doc12.html": 5993692573126386632,
+            "x" * 40: -5348608777870439244,   # ≥32-byte big-lane path
+            "": -7444071767201028348,
+            "héllo": 501425390238239234,       # multi-byte UTF-8
+            "值测试": 3637047552297251319,      # CJK
+        }
+        for t, w in want.items():
+            assert xxhash64_str(t) == w, t
+
+    def test_live_parity_and_bucket(self, spark):
+        from pyspark.sql import functions as F
+
+        from gitlab_elasticsearch_indexer_spark.config import N_TERM_BUCKETS
+        from gitlab_elasticsearch_indexer_spark.functions.xxhash import (
+            term_bucket,
+            xxhash64_str,
+        )
+        from gitlab_elasticsearch_indexer_spark.operators.postings import bucket_col
+
+        terms = ["merge", "window", "ünïcode", "x" * 100, "0", "tromsø"]
+        rows = (
+            spark.createDataFrame([(t,) for t in terms], "term string")
+            .select("term", F.xxhash64("term").alias("h"), bucket_col(F.col("term")).alias("b"))
+            .collect()
+        )
+        for r in rows:
+            assert xxhash64_str(r["term"]) == r["h"], r["term"]
+            assert term_bucket(r["term"], N_TERM_BUCKETS) == r["b"], r["term"]
