@@ -22,4 +22,4 @@ Catalyst/Tungsten pick the physical plan; per-row logic lives exclusively in
 Arrow-vectorized pandas UDFs (no row-at-a-time Python anywhere).
 """
 
-__version__ = "0.2.0"  # segments schema: + offsets_enc (index_options=offsets)
+__version__ = "0.3.0"  # catalog: snapshot chaining (parent_snapshot/chain_depth/total_tokens)

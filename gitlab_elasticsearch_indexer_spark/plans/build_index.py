@@ -184,6 +184,9 @@ def build_index(
             "avgdl": (
                 int(agg_row[f"n_tokens_{fld}"] or 0) / n_docs if n_docs else 0.0
             ),
+            # exact integer total so incremental merges can update field
+            # avgdl arithmetically without float drift
+            "total": int(agg_row[f"n_tokens_{fld}"] or 0),
         }
         for fld, fld_an in extra_fields.items()
     }
@@ -297,6 +300,7 @@ def build_index(
         with_positions=with_positions,
         fields=field_meta or None,
         with_offsets=with_offsets,
+        total_tokens=total_tokens,
     )
     cat.write_catalog(index_dir, catalog)
     cat.commit_snapshot(index_dir, snapshot)

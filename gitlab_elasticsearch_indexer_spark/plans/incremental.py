@@ -11,17 +11,27 @@ Semantics (mirroring git/gitaly.go:186-215):
   COPIED           → idempotent upsert by url (deterministic IDs make
                      re-runs safe, O7)
 
-Spark shape: the delta is tiny relative to the corpus, so removals are a
-broadcast anti-join and upserts a unionByName — the DataFrame-level
-equivalent of Iceberg ``MERGE INTO docs USING delta ON docs.url = delta.url
-WHEN MATCHED [AND op='DELETED'] THEN DELETE / UPDATE WHEN NOT MATCHED THEN
-INSERT`` (which this becomes verbatim once an Iceberg catalog is attached).
+Spark shape — delta-proportional writes (the 100 TB property):
 
-Segment maintenance is partition-local: only the docid_ranges containing
-touched docs are rebuilt; untouched ranges' block rows are carried over
-unchanged (their (max_tf, min_dl) block-max metadata is avgdl-independent,
-so bounds stay valid as collection stats shift).  Collection stats and
-term_stats are recomputed exactly — a cheap full agg.
+- The new snapshot materializes ONLY the affected docid_ranges' docs and
+  segments (ranges containing a removed, replaced, or added doc) and claims
+  them in its lineage; the catalog points at the parent snapshot.  Readers
+  resolve the chain newest-first (sources/catalog.read_table) — Iceberg's
+  metadata-only copy-on-write, rendered on plain parquet.  A delta touching
+  0.1% of the corpus writes 0.1% of the data; the previous implementation
+  rewrote every byte of docs+segments per delta.
+- Collection stats update ARITHMETICALLY from delta-sized aggregates
+  (exact integers: n_docs ± counts, total_tokens ± dl sums — no float
+  drift), so no corpus pass is needed for avgdl.
+- term_stats is the one corpus-wide aggregation kept per delta — it reads
+  block METADATA only (column-pruned, no posting bytes).
+- Untouched ranges' block rows are never rewritten; their (max_tf, min_dl)
+  block-max metadata is avgdl-independent, so bounds stay valid as
+  collection stats shift.
+- Every ``max_chain`` deltas the snapshot compacts: the full logical view
+  is materialized and the chain resets — bounding read-side chain
+  resolution at ≤ max_chain anti-joins (on Iceberg this is the engine's
+  own snapshot expiry/compaction).
 """
 
 from __future__ import annotations
@@ -43,11 +53,11 @@ def apply_delta(
     delta: DataFrame,
     new_snapshot: str,
     project_id: int = 1,
+    max_chain: int = 3,
 ) -> cat.Catalog:
     """delta: PAGES_DELTA-shaped (+ doc_id for new/modified rows)."""
     old = cat.read_catalog(index_dir)
     docs_old = cat.read_table(spark, index_dir, "docs", old.snapshot)
-    seg_old = cat.read_table(spark, index_dir, "segments", old.snapshot)
 
     # the old catalog's full index config — rebuilt ranges must reproduce it
     # exactly (positions payloads, per-field dl columns, namespaced terms)
@@ -66,80 +76,115 @@ def apply_delta(
         new_docs = new_docs.withColumn(
             f"dl_{fld}", F.size(tokens_expr(fld_an, text_col=fld)).cast("int")
         )
+    new_docs = new_docs.cache()
 
-    # MERGE: delete + upsert (broadcast both small sides)
-    survivors = docs_old.join(
-        F.broadcast(removals), "url", "left_anti"
-    ).join(
-        F.broadcast(puts.select("url")), "url", "left_anti"  # replaced rows
+    gone_urls = removals.unionByName(puts.select("url"))
+    dl_cols = ["dl"] + [f"dl_{fld}" for fld in fields_meta]
+    removed_rows = docs_old.join(F.broadcast(gone_urls), "url", "left_semi").select(
+        "docid", *dl_cols
+    ).cache()
+
+    # ---- exact arithmetic collection stats from delta-sized aggregates ----
+    def _sums(df: DataFrame) -> tuple[int, dict[str, int]]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            *[F.sum(c).cast("long").alias(c) for c in dl_cols],
+        ).collect()[0]
+        return int(row["n"]), {c: int(row[c] or 0) for c in dl_cols}
+
+    n_removed, rem_sums = _sums(removed_rows)
+    n_added, add_sums = _sums(new_docs)
+    n_docs = old.n_docs - n_removed + n_added
+
+    have_totals = old.total_tokens is not None and all(
+        "total" in m for m in fields_meta.values()
     )
-    docs_new = survivors.unionByName(new_docs.select(*survivors.columns)).cache()
-
-    stats_row = docs_new.agg(
-        F.count("*").alias("n"),
-        F.avg("dl").alias("avgdl"),
-        *[F.avg(f"dl_{fld}").alias(f"avgdl_{fld}") for fld in fields_meta],
-    ).collect()[0]
-    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+    if have_totals:
+        totals = {"dl": int(old.total_tokens)}
+        for fld, m in fields_meta.items():
+            totals[f"dl_{fld}"] = int(m["total"])
+    else:
+        # legacy catalog without exact totals: one full (column-pruned) agg
+        row = docs_old.agg(
+            *[F.sum(c).cast("long").alias(c) for c in dl_cols]
+        ).collect()[0]
+        totals = {c: int(row[c] or 0) for c in dl_cols}
+    totals = {
+        c: totals[c] - rem_sums[c] + add_sums[c] for c in dl_cols
+    }
+    avgdl = (totals["dl"] / n_docs) if n_docs else 0.0
     new_fields_meta = {
         fld: {
             "analyzer": m["analyzer"],
             "dl_col": m["dl_col"],
-            "avgdl": float(stats_row[f"avgdl_{fld}"] or 0.0),
+            "avgdl": (totals[f"dl_{fld}"] / n_docs) if n_docs else 0.0,
+            "total": totals[f"dl_{fld}"],
         }
         for fld, m in fields_meta.items()
     }
 
-    # Affected ranges: every docid that was removed, replaced, or added.
-    # Stays a DATAFRAME — a bulk delta (e.g. a full re-crawl) can touch
-    # every range, and a collected list would put n_docs/8192 entries on
-    # the driver; semi/anti-joins keep the rebuild fully distributed.
+    # ---- affected ranges: delta-sized DataFrame, never collected ----
     range_expr = (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
-    removed_docids = docs_old.join(
-        F.broadcast(removals.unionByName(puts.select("url"))), "url", "left_semi"
-    ).select("docid")
     affected = (
-        removed_docids.unionByName(new_docs.select("docid"))
-        .select(range_expr.alias("docid_range"))
+        removed_rows.select(range_expr.alias("docid_range"))
+        .unionByName(new_docs.select(range_expr.alias("docid_range")))
         .distinct()
         .cache()
     )
 
-    # Rebuild only affected ranges from the NEW doc set; carry the rest over.
-    # Occurrence generation goes through the SAME path as the full build
-    # (field_occurrences) so rebuilt ranges keep positions payloads and
-    # field-namespaced terms on positions / multi-field indexes.
+    materialize = old.chain_depth + 1 > max_chain
+
+    # logical surviving docs (chain view minus removals/replacements)
+    survivors = docs_old.join(F.broadcast(gone_urls), "url", "left_anti")
+    if materialize:
+        snap_docs = survivors.unionByName(new_docs.select(*survivors.columns))
+    else:
+        snap_docs = survivors.join(
+            affected, range_expr == affected["docid_range"], "left_semi"
+        ).unionByName(new_docs.select(*survivors.columns))
+
+    sd = cat.snapshot_dir(index_dir, new_snapshot)
+    snap_docs.write.mode("overwrite").parquet(f"{sd}/docs")
+    snap_docs_read = spark.read.parquet(f"{sd}/docs")
+
+    # rebuild segments for the ranges this snapshot owns; occurrence
+    # generation goes through the SAME path as the full build
+    # (field_occurrences) so positions payloads, offsets, and
+    # field-namespaced terms are reproduced exactly
     from .build_index import field_occurrences
 
-    rebuild_docs = docs_new.join(
+    # even when compacting, only affected ranges are re-encoded — the
+    # untouched ranges' blocks are carried over via seg_keep below
+    rebuild_docs = snap_docs_read.join(
         affected, range_expr == affected["docid_range"], "left_semi"
     )
     rebuild_occ = field_occurrences(
         rebuild_docs, old.analyzer, old.with_positions, field_analyzers,
         with_offsets=old.with_offsets,
     )
-    seg_keep = seg_old.join(affected, "docid_range", "left_anti")
     seg_new = build_segments(
         rebuild_occ, avgdl=avgdl, with_positions=old.with_positions,
         with_offsets=old.with_offsets,
     )
-    # allowMissingColumns: indexes written before the offsets_enc column
-    # existed read as 13-column segments; rebuilt rows carry the full schema
-    segments = seg_keep.unionByName(seg_new, allowMissingColumns=True)
+    if materialize:
+        seg_old = cat.read_table(spark, index_dir, "segments", old.snapshot)
+        seg_keep = seg_old.join(affected, "docid_range", "left_anti")
+        segments = seg_keep.unionByName(seg_new, allowMissingColumns=True)
+    else:
+        segments = seg_new  # delta ranges only — the untouched 99.9% is
+        #                     reached through the snapshot chain
+    segments.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{sd}/segments")
 
-    sd = cat.snapshot_dir(index_dir, new_snapshot)
-    docs_new.write.mode("overwrite").parquet(f"{sd}/docs")
-    segments.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{sd}/segments"
+    # lineage = this snapshot's range claims (chain-resolution ownership),
+    # written distributively from the affected DataFrame
+    claim_src = (
+        snap_docs_read.select(range_expr.alias("docid_range")).distinct()
+        if materialize
+        else affected
     )
-    # exact term stats from the merged segments' block metadata
-    seg_read = spark.read.parquet(f"{sd}/segments")
-    term_stats_from_segments(seg_read, n_docs).write.mode("overwrite").parquet(
-        f"{sd}/term_stats"
-    )
-
-    # lineage written distributively from the affected-range DataFrame
-    lineage = affected.select(
+    lineage = claim_src.select(
         F.col("docid_range").cast("string").alias("partition_key"),
         F.lit(old.snapshot).alias("from_snapshot"),
         F.lit(new_snapshot).alias("to_snapshot"),
@@ -153,7 +198,6 @@ def apply_delta(
         spark.createDataFrame(
             [("-", old.snapshot, new_snapshot, 0, 0, "done", 0)], LINEAGE
         ).coalesce(1).write.mode("overwrite").parquet(f"{sd}/lineage")
-    affected.unpersist()
 
     catalog = cat.Catalog(
         n_docs=n_docs,
@@ -166,8 +210,21 @@ def apply_delta(
         with_positions=old.with_positions,
         fields=new_fields_meta or None,
         with_offsets=old.with_offsets,
+        parent_snapshot=None if materialize else old.snapshot,
+        chain_depth=0 if materialize else old.chain_depth + 1,
+        total_tokens=totals["dl"],
     )
     cat.write_catalog(index_dir, catalog)
+
+    # exact term stats over the LOGICAL segments view (block metadata only;
+    # needs the new catalog+lineage on disk for chain resolution)
+    seg_view = cat.read_table(spark, index_dir, "segments", new_snapshot)
+    term_stats_from_segments(seg_view, n_docs).write.mode("overwrite").parquet(
+        f"{sd}/term_stats"
+    )
+
     cat.commit_snapshot(index_dir, new_snapshot)
-    docs_new.unpersist()
+    new_docs.unpersist()
+    removed_rows.unpersist()
+    affected.unpersist()
     return catalog

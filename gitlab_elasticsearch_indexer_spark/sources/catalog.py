@@ -46,6 +46,18 @@ class Catalog:
     # index_options=offsets (elastic/index.go:208-218): segments carry an
     # offsets_enc payload enabling highlighting
     with_offsets: bool = False
+    # Snapshot chaining (Iceberg-style metadata-only copy): a delta snapshot
+    # stores ONLY its affected docid_ranges' docs/segments and points at the
+    # previous snapshot; readers resolve the chain newest-first, each older
+    # snapshot contributing only ranges not claimed by a newer one (claims =
+    # the snapshot's lineage partition_keys).  ``chain_depth`` counts hops to
+    # the nearest full materialization; apply_delta compacts when it exceeds
+    # its max_chain.
+    parent_snapshot: str | None = None
+    chain_depth: int = 0
+    # exact total token count — carried so incremental merges can update
+    # n_docs/avgdl arithmetically from delta-sized aggregates
+    total_tokens: int | None = None
 
 
 def snapshot_dir(index_dir: str, snapshot: str) -> str:
@@ -85,7 +97,52 @@ def table_path(index_dir: str, table: str, snapshot: str | None = None) -> str:
     return os.path.join(snapshot_dir(index_dir, snapshot), table)
 
 
+def _claimed_ranges(spark: SparkSession, index_dir: str, snapshot: str) -> DataFrame:
+    """docid_ranges owned by ``snapshot`` = its lineage partition_keys."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(table_path(index_dir, "lineage", snapshot))
+        .filter(F.col("partition_key") != "-")
+        .select(F.col("partition_key").cast("long").alias("docid_range"))
+        .distinct()
+    )
+
+
 def read_table(
     spark: SparkSession, index_dir: str, table: str, snapshot: str | None = None
 ) -> DataFrame:
-    return spark.read.parquet(table_path(index_dir, table, snapshot))
+    """Read a snapshot's logical table, resolving the snapshot chain for the
+    range-sharded tables (docs, segments): walk newest → oldest, each older
+    snapshot contributing only docid_ranges no newer snapshot claims.  All
+    set logic is DataFrame joins — nothing corpus-sized on the driver."""
+    from pyspark.sql import functions as F
+
+    if snapshot is None:
+        snapshot = current_snapshot(index_dir)
+    c = read_catalog(index_dir, snapshot)
+    if table not in ("docs", "segments") or c.parent_snapshot is None:
+        return spark.read.parquet(table_path(index_dir, table, snapshot))
+
+    range_key = (
+        F.col("docid_range")
+        if table == "segments"
+        else (F.col("docid") / F.lit(c.docs_per_range)).cast("long")
+    )
+    out: DataFrame | None = None
+    claimed: DataFrame | None = None
+    snap: str | None = snapshot
+    while snap is not None:
+        sc = read_catalog(index_dir, snap)
+        df = spark.read.parquet(table_path(index_dir, table, snap))
+        if claimed is not None:
+            df = df.join(
+                claimed.withColumnRenamed("docid_range", "__claimed_rng"),
+                range_key == F.col("__claimed_rng"),
+                "left_anti",
+            )
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        mine = _claimed_ranges(spark, index_dir, snap)
+        claimed = mine if claimed is None else claimed.unionByName(mine).distinct()
+        snap = sc.parent_snapshot
+    return out

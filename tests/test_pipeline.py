@@ -406,6 +406,80 @@ class TestRoutedBuild:
         assert Searcher(spark, res.blob_index).search("table", k=3).count() == 3
 
 
+class TestSnapshotChaining:
+    """Delta snapshots materialize only affected ranges (Iceberg-style
+    metadata-only copy-on-write); readers resolve the chain; compaction
+    after max_chain deltas; results stay identical to a fresh build of the
+    same logical corpus at every step."""
+
+    def test_sequential_deltas_chain_and_compact(self, spark, tmp_path):
+        from gitlab_elasticsearch_indexer_spark.plans.incremental import apply_delta
+
+        # spread docids so ranges are fine-grained (one doc per range)
+        pages = pages_from_documents(spark, SF_SMALL).withColumn(
+            "doc_id", F.col("doc_id") * 8192
+        )
+        d = str(tmp_path / "chain")
+        build_index(spark, pages, d, snapshot="s0")
+
+        def delta_for(step):
+            # each step modifies docs where (doc_id/8192) % 50 == step and
+            # deletes those where == step + 25
+            base = F.col("doc_id") / 8192
+            mod = pages.filter(base % 50 == step).withColumn(
+                "op", F.lit("MODIFIED")
+            ).withColumn("old_url", F.lit(None).cast("string")).withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" step{step} step{step}"))
+            ).withColumn("html", F.encode(F.col("text"), "UTF-8"))
+            dele = pages.filter(base % 50 == step + 25).withColumn(
+                "op", F.lit("DELETED")
+            ).withColumn("old_url", F.col("url"))
+            return mod.unionByName(dele)
+
+        snaps = []
+        for step in range(5):
+            c = apply_delta(
+                spark, d, delta_for(step), new_snapshot=f"s{step + 1}",
+                max_chain=3,
+            )
+            snaps.append(c)
+        # chain grew then compacted: depths 1,2,3,0(compacted),1
+        assert [c.chain_depth for c in snaps] == [1, 2, 3, 0, 1]
+        assert snaps[3].parent_snapshot is None
+        assert snaps[4].parent_snapshot == "s4"
+
+        # fresh build of the same logical corpus
+        final_pages = pages
+        for step in range(5):
+            base = F.col("doc_id") / 8192
+            final_pages = final_pages.filter(base % 50 != step + 25).withColumn(
+                "text",
+                F.when(
+                    base % 50 == step,
+                    F.concat(F.col("text"), F.lit(f" step{step} step{step}")),
+                ).otherwise(F.col("text")),
+            )
+        final_pages = final_pages.withColumn("html", F.encode(F.col("text"), "UTF-8"))
+        d2 = str(tmp_path / "fresh")
+        build_index(spark, final_pages, d2, snapshot="s1")
+
+        s1, s2 = Searcher(spark, d), Searcher(spark, d2)
+        assert s1.catalog.n_docs == s2.catalog.n_docs
+        assert s1.catalog.avgdl == pytest.approx(s2.catalog.avgdl, rel=1e-12)
+        # logical docs identical
+        a = s1.docs.select("docid", "url", "dl").toPandas().sort_values("docid").reset_index(drop=True)
+        b = s2.docs.select("docid", "url", "dl").toPandas().sort_values("docid").reset_index(drop=True)
+        assert a.equals(b)
+        # search parity (both paths) on the chained index vs the fresh build
+        for q in ["step0 step0", "table", "spark data query", "step4"]:
+            h1 = s1.search(q, k=20, mode="exhaustive", with_docs=False).toPandas()
+            h2 = s2.search(q, k=20, mode="exhaustive", with_docs=False).toPandas()
+            assert h1["docid"].tolist() == h2["docid"].tolist(), q
+            assert h1["score"].tolist() == pytest.approx(h2["score"].tolist(), rel=1e-9), q
+            bm = s1.search(q, k=20, mode="blockmax", with_docs=False).toPandas()
+            assert bm["docid"].tolist() == h1["docid"].tolist(), q
+
+
 class TestDefaultAnalyzerEndToEnd:
     """The default chain (standard tokenizer + lowercase + KStem) driven
     through the REAL pipeline — build, codec, segments, scoring — and
