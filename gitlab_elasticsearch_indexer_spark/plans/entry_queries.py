@@ -1211,6 +1211,32 @@ FROM events GROUP BY 1, 2
 )
 
 
+def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessionization with carried state — same result set as the batch
+    events_sessionize, same oracle."""
+    from ..streaming.sessionize import run_sessionize_batch_equivalent
+
+    return run_sessionize_batch_equivalent(spark, f"{sf_dir}/events.parquet")
+
+
+register(
+    "stream_sessionize",
+    _stream_sessionize,
+    """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+""",
+)
+
+
 def _code_analyzer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """code_analyzer chain (A2+A9+A6+A8+A5) over synthetic identifiers
     ``getValue_<source>Impl`` — the word_delimiter_graph split points

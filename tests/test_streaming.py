@@ -78,3 +78,39 @@ def test_stream_apply_deltas(spark, tmp_path):
     hits = s.search("streamed", k=5, with_docs=False).collect()
     assert [r["docid"] for r in hits] == [900000]
     assert s.docs.filter(F.col("docid") == 0).count() == 0
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState sessionization over a bounded stream must
+    equal the batch window-lag sessionization (same gap semantics)."""
+    from conftest import SF_SMALL
+
+    from gitlab_elasticsearch_indexer_spark.streaming.sessionize import (
+        run_sessionize_batch_equivalent,
+    )
+
+    got = (
+        run_sessionize_batch_equivalent(spark, f"{SF_SMALL}/events.parquet")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    want = (
+        ev.withColumn("ns", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("ns").cast("long").alias("n_sessions"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert (got["n_sessions"] >= 1).all()
