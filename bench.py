@@ -77,6 +77,21 @@ def run_once(
         _warm = F.pandas_udf(_warm_fn, "long")
         spark.range(10000).repartition(cpus).select(_warm("id")).count()
 
+        # Warm the JVM build path too (codegen compilation, parquet
+        # committer init, shuffle service): one throwaway 200-doc build.
+        # First-build cold costs are fixed per JVM (~10-15 s on this VM,
+        # independent of corpus size) and would otherwise dominate a
+        # small-sf measurement; steady-state build throughput is what a
+        # long-running cluster job — and the 500 k/2 M-doc scaling runs in
+        # BENCH.md — actually see.
+        warm_idx = tempfile.mkdtemp(prefix="ges_bench_warm_")
+        try:
+            build_index(
+                spark, pages.limit(200), warm_idx, analyzer="simple", snapshot="w"
+            )
+        finally:
+            shutil.rmtree(warm_idx, ignore_errors=True)
+
         t0 = time.time()
         build_index(spark, pages, index_dir, analyzer="simple", snapshot="s1")
         timings["index_build"] = round(time.time() - t0, 3)

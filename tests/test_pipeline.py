@@ -676,3 +676,35 @@ class TestCheckpointedResume:
         seg = cat.read_table(spark, d_crash, "segments")
         dec = decode_segments(seg).toPandas()
         assert not dec.duplicated(subset=["term", "docid"]).any()
+
+
+class TestHeadTermSalting:
+    """The north rule's explicit-skew contract: a Zipf head term occurring in
+    EVERY document must never concentrate in one shuffle group — the
+    (term, docid_range) salt bounds each posting group at DOCS_PER_RANGE
+    docs and splits the term across ranges."""
+
+    def test_head_term_splits_across_ranges(self, spark, tmp_path):
+        from gitlab_elasticsearch_indexer_spark.config import DOCS_PER_RANGE
+
+        # 500 docs spread over ~61 ranges via docid spacing; 'common' in all
+        pages = pages_from_documents(spark, SF_SMALL).withColumn(
+            "doc_id", F.col("doc_id") * 1000
+        ).withColumn(
+            "text", F.concat(F.lit("common common "), F.col("text"))
+        ).withColumn("html", F.encode(F.col("text"), "UTF-8"))
+        d = str(tmp_path / "skew")
+        build_index(spark, pages, d, snapshot="s1")
+        seg = cat.read_table(spark, d, "segments").filter(F.col("term") == "common")
+        per_range = (
+            seg.groupBy("docid_range")
+            .agg(F.sum("n_docs").alias("n"))
+            .toPandas()
+        )
+        # head term present in every range the corpus spans, each bounded
+        assert len(per_range) == (499 * 1000) // 8192 + 1  # 61 ranges
+        assert int(per_range["n"].max()) <= DOCS_PER_RANGE
+        assert int(per_range["n"].sum()) == 500
+        # and the searcher still ranks it fine end-to-end
+        s = Searcher(spark, d)
+        assert s.search("common", k=10, with_docs=False).count() == 10

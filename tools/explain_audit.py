@@ -137,6 +137,13 @@ def main() -> None:
         )
     )
 
+    seg_scan_plan = formatted(seg_scan.select("term", "docid_range", "max_tf"))
+    assert "CollectLimit" not in seg_scan_plan
+    # bucket pruning must come from the driver-side xxhash64 twin — the
+    # PartitionFilters list literal bucket values, proving no Spark job was
+    # spent learning the routing key
+    assert "PartitionFilters: [bucket" in seg_scan_plan
+
     out = ["# EXPLAIN audit — physical plans of the hot paths\n"]
     out.append(
         "Generated by tools/explain_audit.py (sf0.001 index). Each section "
