@@ -134,6 +134,20 @@ class Searcher:
             .limit(k)
         )
 
+    def highlight(self, term: str, window: int = 30) -> DataFrame:
+        """(docid, start, end, snippet) for every occurrence of ``term`` —
+        spans decoded from the stored offsets payload, snippets cut with
+        JVM substrings (requires with_offsets index; ES highlighting
+        analog, elastic/index.go:208-218)."""
+        if not self.catalog.with_offsets:
+            raise ValueError("index was built without offsets")
+        from ..operators.highlight import highlight_term
+
+        analyzed = analyze_query_seq(term, self.catalog.analyzer)
+        if len(analyzed) != 1:
+            raise ValueError("highlight takes a single term")
+        return highlight_term(self.segments, self.docs, analyzed[0], window=window)
+
     def lookup(self, doc_id: str) -> DataFrame:
         """Point GET by document id (reference test-only read path,
         elastic/client.go:231-246) — K8."""

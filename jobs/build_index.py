@@ -34,6 +34,8 @@ def main() -> None:
     p.add_argument("--index", required=True)
     p.add_argument("--analyzer", default="simple")
     p.add_argument("--positions", action="store_true")
+    p.add_argument("--offsets", action="store_true",
+                   help="store per-posting character offsets (implies positions)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot", default="s1")
     p.add_argument("--cores", type=int, default=None)
@@ -87,6 +89,7 @@ def main() -> None:
             args.index,
             analyzer=args.analyzer,
             with_positions=args.positions,
+            with_offsets=args.offsets,
             snapshot=args.snapshot,
             resume=args.resume,
         )

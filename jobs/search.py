@@ -25,6 +25,11 @@ def main() -> None:
     p.add_argument("--mode", default="blockmax", choices=["blockmax", "exhaustive"])
     p.add_argument("--filter", help="SQL predicate over doc metadata (Q7)")
     p.add_argument("--phrase", action="store_true")
+    p.add_argument(
+        "--highlight", action="store_true",
+        help="return offset-based snippets for a single-term query "
+        "(requires an index built with offsets)",
+    )
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args()
 
@@ -35,7 +40,9 @@ def main() -> None:
 
     spark = get_spark(app_name="ges-search", cores=args.cores)
     s = Searcher(spark, args.index)
-    if args.phrase:
+    if args.highlight:
+        out = s.highlight(args.query)
+    elif args.phrase:
         out = s.phrase_search(args.query, k=args.k)
     else:
         flt = F.expr(args.filter) if args.filter else None

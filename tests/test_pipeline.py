@@ -359,6 +359,15 @@ class TestOffsetsAndHighlight:
         s = Searcher(spark, offsets_idx)
         assert s.phrase_search("data query", k=5).count() == 5
 
+    def test_searcher_highlight_api(self, spark, offsets_idx, index_dir):
+        s = Searcher(spark, offsets_idx)
+        frags = s.highlight("customer", window=12).toPandas()
+        assert len(frags) > 0 and all("«customer»" in x.lower() for x in frags["snippet"])
+        with pytest.raises(ValueError, match="single term"):
+            s.highlight("two terms")
+        with pytest.raises(ValueError, match="without offsets"):
+            Searcher(spark, index_dir).highlight("customer")
+
     def test_offsets_with_extra_fields_rejected(self, spark, tmp_path):
         with pytest.raises(ValueError, match="content field only"):
             build_index(
