@@ -28,7 +28,9 @@ from .search import filter_segments_for_terms
 def term_offsets(segments: DataFrame, term: str) -> DataFrame:
     """→ (docid, start, end) — one row per occurrence of ``term``, decoded
     from the offsets payload (requires an index built with_offsets)."""
-    seg = filter_segments_for_terms(segments, [term])
+    seg = filter_segments_for_terms(segments, [term]).select(
+        "docid_range", "n_docs", "docids_enc", "offsets_enc"
+    )
 
     def decode(batches):
         for pdf in batches:

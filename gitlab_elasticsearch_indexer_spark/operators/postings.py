@@ -269,7 +269,14 @@ def term_stats_from_segments(segments: DataFrame, n_docs: int) -> DataFrame:
 
 def decode_segments(segments: DataFrame) -> DataFrame:
     """SEGMENTS → flat (term, docid, tf) via mapInPandas — the storage
-    round-trip used by the exhaustive scorer and the oracle-parity tests."""
+    round-trip used by the exhaustive scorer and the oracle-parity tests.
+
+    Projects to the five needed columns FIRST so the parquet scan prunes the
+    posting-byte columns it doesn't decode — on a positions+offsets index
+    those payloads are most of the table's bytes."""
+    segments = segments.select(
+        "term", "docid_range", "n_docs", "docids_enc", "tfs_enc"
+    )
 
     def decode(batches):
         for pdf in batches:

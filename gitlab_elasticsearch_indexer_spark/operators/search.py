@@ -139,7 +139,9 @@ def phrase_filter_docids(
     if n == 0:
         return segments.sparkSession.createDataFrame([], "docid long")
     distinct_terms = list(dict.fromkeys(phrase_terms))
-    seg = filter_segments_for_terms(segments, distinct_terms)
+    seg = filter_segments_for_terms(segments, distinct_terms).select(
+        "term", "docid_range", "n_docs", "docids_enc", "positions_enc"
+    )
 
     def check_range(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"docid": pd.Series([], dtype="int64")})

@@ -209,7 +209,12 @@ def search_blockmax(
     if not live_terms:
         return spark.createDataFrame([], "docid long, score double")
 
-    seg = filter_segments_for_terms(segments, live_terms)
+    # project away the payload columns the scorer never decodes (positions/
+    # offsets) — parquet then skips those byte columns entirely
+    seg = filter_segments_for_terms(segments, live_terms).select(
+        "term", "docid_range", "n_docs", "max_tf", "min_dl",
+        "docids_enc", "tfs_enc",
+    )
     doc_side = docs if doc_filter is None else docs.filter(doc_filter)
     doc_side = doc_side.select(
         "docid",
