@@ -47,6 +47,21 @@ from ..schemas import LINEAGE
 from ..sources import catalog as cat
 
 
+def compact(
+    spark: SparkSession, index_dir: str, new_snapshot: str
+) -> cat.Catalog:
+    """Materialize the current snapshot chain into one full snapshot
+    (metadata maintenance — the manual analog of the automatic
+    every-``max_chain`` compaction).  Implemented as an empty delta with
+    max_chain=0, which forces the materialize branch."""
+    empty = spark.createDataFrame(
+        [],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, op string, old_url string, doc_id long",
+    )
+    return apply_delta(spark, index_dir, empty, new_snapshot, max_chain=0)
+
+
 def apply_delta(
     spark: SparkSession,
     index_dir: str,

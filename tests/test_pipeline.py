@@ -479,6 +479,13 @@ class TestSnapshotChaining:
         a = s1.docs.select("docid", "url", "dl").toPandas().sort_values("docid").reset_index(drop=True)
         b = s2.docs.select("docid", "url", "dl").toPandas().sort_values("docid").reset_index(drop=True)
         assert a.equals(b)
+        # explicit compaction API flattens the chain, results unchanged
+        from gitlab_elasticsearch_indexer_spark.plans.incremental import compact
+
+        c6 = compact(spark, d, "s6")
+        assert c6.parent_snapshot is None and c6.chain_depth == 0
+        assert c6.n_docs == snaps[4].n_docs
+
         # search parity (both paths) on the chained index vs the fresh build
         for q in ["step0 step0", "table", "spark data query", "step4"]:
             h1 = s1.search(q, k=20, mode="exhaustive", with_docs=False).toPandas()
