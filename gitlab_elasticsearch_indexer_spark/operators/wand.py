@@ -177,6 +177,7 @@ def search_blockmax(
     n_ranges_hint: int | None = None,
     super_shift: int = 10,
     super_threshold: int = 1 << 16,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """→ (docid, score) top-k, rank-identical to search_exhaustive.
 
@@ -197,6 +198,10 @@ def search_blockmax(
        per-range bounds.  Driver memory is O(n_ranges / 1024 + batch),
        and a super-range whose best member bound < θ is skipped without
        ever fetching its members.
+
+    ``stats_out`` (optional dict) receives skip telemetry:
+    ``ranges_total`` / ``ranges_scored`` (regimes 2-3) — the observable
+    proof that θ-pruning is cutting work, used by tests and ops dashboards.
     """
     if not query_terms:
         return spark.createDataFrame([], "docid long, score double")
@@ -243,7 +248,10 @@ def search_blockmax(
     def kth() -> float:
         return heap[0][0] if len(heap) >= k else float("-inf")
 
+    scored_count = [0]
+
     def score_batch(batch: list[int]) -> None:
+        scored_count[0] += len(batch)
         part = cogroup_score(
             seg.filter(F.col("docid_range").isin(batch)),
             doc_side.filter(F.col("docid_range").isin(batch)),
@@ -276,11 +284,13 @@ def search_blockmax(
 
     two_level = n_ranges_hint is not None and n_ranges_hint > super_threshold
     rb = _range_bounds_df(seg, stats_df, avgdl)
+    n_total_ranges = 0
     if not two_level:
         # ---- regime 2: collect per-range bounds (one narrow agg job) ----
         bounds = {
             int(r["docid_range"]): float(r["bound"]) for r in rb.collect()
         }
+        n_total_ranges = len(bounds)
         process_ranges(sorted(bounds, key=lambda rg: -bounds[rg]), bounds)
     else:
         # ---- regime 3: super-range level first, members fetched lazily ----
@@ -303,9 +313,14 @@ def search_blockmax(
                 bounds = {
                     int(r["docid_range"]): float(r["bound"]) for r in member_rows
                 }
+                n_total_ranges += len(bounds)
                 process_ranges(sorted(bounds, key=lambda rg: -bounds[rg]), bounds)
         finally:
             rb.unpersist()
+
+    if stats_out is not None:
+        stats_out["ranges_total"] = n_total_ranges
+        stats_out["ranges_scored"] = scored_count[0]
 
     out = sorted(heap, key=lambda t: (-t[0], -t[1]))
     return spark.createDataFrame(

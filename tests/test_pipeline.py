@@ -724,3 +724,36 @@ class TestHeadTermSalting:
         # and the searcher still ranks it fine end-to-end
         s = Searcher(spark, d)
         assert s.search("common", k=10, with_docs=False).count() == 10
+
+
+class TestBlockmaxSkipping:
+    """θ-pruning must measurably skip ranges, not just stay rank-correct:
+    after the first descending-bound batches establish the k-th score, lower
+    -bound ranges are never scored (stats_out telemetry)."""
+
+    def test_ranges_skipped_and_rank_identical(self, spark, tmp_path):
+        from gitlab_elasticsearch_indexer_spark.operators.search import (
+            search_exhaustive,
+        )
+        from gitlab_elasticsearch_indexer_spark.operators.wand import search_blockmax
+
+        # spread docids over ~61 ranges so range bounds differ per range
+        pages = pages_from_documents(spark, SF_SMALL).withColumn(
+            "doc_id", F.col("doc_id") * 1000
+        )
+        d = str(tmp_path / "skipidx")
+        build_index(spark, pages, d, snapshot="s1")
+        s = Searcher(spark, d)
+        stats: dict = {}
+        terms = ["customer"]
+        bm = search_blockmax(
+            spark, s.segments, s.term_stats, s.docs, terms, 5, s.catalog.avgdl,
+            range_batch=4, n_ranges_hint=10**6,  # force regime 2
+            stats_out=stats,
+        ).toPandas()
+        ex = search_exhaustive(
+            s.segments, s.term_stats, s.docs, terms, 5, s.catalog.avgdl
+        ).toPandas()
+        assert bm["docid"].tolist() == ex["docid"].tolist()
+        assert stats["ranges_total"] > 0
+        assert stats["ranges_scored"] < stats["ranges_total"], stats
