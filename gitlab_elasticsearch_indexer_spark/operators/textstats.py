@@ -34,6 +34,31 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+# GPT-2-style pretokenizer pattern, RE2-compatible (no lookaheads): common
+# contractions, space-prefixed letter/digit runs, punctuation runs, spaces.
+# A real BPE merges within these pretokens; the pretoken count is the
+# standard cheap proxy for "token budget" in training-data curation.
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+)
+
+
+def bpe_token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(docid, bpe_tokens, chars_per_token) — BPE-ish pretoken count via one
+    JVM regexp_extract_all (codegen'd, SQL-reproducible)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+    n = F.size(toks).cast("long")
+    return df.select(
+        F.col(id_col).cast("long").alias("docid"),
+        n.alias("bpe_tokens"),
+        F.round(
+            F.when(n > 0, F.length(text_col).cast("double") / n).otherwise(0.0), 4
+        ).alias("chars_per_token"),
+    )
+
+
 def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality: alpha-character ratio + non-stopword ratio."""
     toks = _toks(F.col(text_col))

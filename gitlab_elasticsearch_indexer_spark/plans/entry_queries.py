@@ -953,6 +953,33 @@ FROM documents
 )
 
 
+def _text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import bpe_token_counts
+
+    return bpe_token_counts(_documents(spark, sf_dir))
+
+
+register(
+    "text_bpe_tokens",
+    _text_bpe_tokens,
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'
+         )) AS BIGINT) AS bpe_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS docid, bpe_tokens,
+       round(CASE WHEN bpe_tokens > 0
+                  THEN CAST(n_chars AS DOUBLE) / bpe_tokens ELSE 0.0 END, 4)
+         AS chars_per_token
+FROM t
+""",
+)
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import quality_scores
 
