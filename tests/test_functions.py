@@ -476,3 +476,28 @@ class TestXxhash64Parity:
         for r in rows:
             assert xxhash64_str(r["term"]) == r["h"], r["term"]
             assert term_bucket(r["term"], N_TERM_BUCKETS) == r["b"], r["term"]
+
+
+class TestKstemProperties:
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=0, max_size=24))
+    def test_total_and_sane(self, w):
+        """stem() never raises, is deterministic, returns lowercase alpha
+        for alpha input, and never grows absurdly (max +2 chars via
+        e/y-restoration)."""
+        from gitlab_elasticsearch_indexer_spark.functions import kstem
+
+        out = kstem.stem(w)
+        assert out == kstem.stem(w)  # deterministic + cache-consistent
+        if w.isalpha():
+            assert out.isalpha() or out == w
+        assert len(out) <= len(w) + 2
+
+    def test_dict_words_fixed_points(self):
+        """Every lexicon headword stems to itself (KStem's defining
+        conservatism)."""
+        from gitlab_elasticsearch_indexer_spark.functions import kstem
+
+        for w in list(kstem._DICT)[:]:
+            if len(w) >= 3 and w.isalpha():
+                assert kstem.stem(w) == w, w

@@ -757,3 +757,46 @@ class TestBlockmaxSkipping:
         assert bm["docid"].tolist() == ex["docid"].tolist()
         assert stats["ranges_total"] > 0
         assert stats["ranges_scored"] < stats["ranges_total"], stats
+
+
+class TestMultiFieldChain:
+    """Multi-field + positions config survives a DEEP snapshot chain
+    (several deltas) and compaction — field stats stay exact."""
+
+    def test_three_deltas_then_field_search(self, spark, tmp_path):
+        from gitlab_elasticsearch_indexer_spark.plans.incremental import (
+            apply_delta,
+            compact,
+        )
+
+        d = str(tmp_path / "mfchain")
+        pages = pages_from_documents(spark, SF_SMALL)
+        build_index(
+            spark, pages, d, snapshot="s0", with_positions=True,
+            extra_fields={"url": "path"},
+        )
+        for step in range(3):
+            delta = (
+                pages.filter(F.col("doc_id") % 40 == step)
+                .withColumn("op", F.lit("MODIFIED"))
+                .withColumn("old_url", F.lit(None).cast("string"))
+                .withColumn("text", F.concat(F.col("text"), F.lit(f" mfc{step}")))
+                .withColumn("html", F.encode(F.col("text"), "UTF-8"))
+            )
+            c = apply_delta(spark, d, delta, new_snapshot=f"s{step + 1}")
+        assert c.chain_depth == 3 and c.fields and "url" in c.fields
+        s = Searcher(spark, d)
+        # field search across the chain: untouched doc 7 and modified doc 0
+        assert [r["docid"] for r in s.search("doc7.html", k=3, field="url", with_docs=False).collect()] == [7]
+        assert [r["docid"] for r in s.search("doc0.html", k=3, field="url", with_docs=False).collect()] == [0]
+        # content search sees the per-step edits and phrase still works
+        assert s.search("mfc2", k=5, with_docs=False).count() == 5
+        assert s.phrase_search("data query", k=3).count() == 3
+        # compaction flattens without changing results
+        compact(spark, d, "sc")
+        s2 = Searcher(spark, d)
+        assert s2.catalog.parent_snapshot is None
+        a = s.search("mfc1", k=20, with_docs=False).toPandas()
+        b = s2.search("mfc1", k=20, with_docs=False).toPandas()
+        assert a["docid"].tolist() == b["docid"].tolist()
+        assert a["score"].tolist() == pytest.approx(b["score"].tolist(), rel=1e-12)
