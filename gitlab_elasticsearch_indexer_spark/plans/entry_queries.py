@@ -722,6 +722,37 @@ FROM sig GROUP BY band_key
 )
 
 
+# --- dedup_lsh_pairs: the PRODUCTION b×r banding candidate join, at
+# SQL-expressible parameters (2 bands × 2 rows over the k=4 signature) ----
+def _dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _documents(spark, sf_dir), n_bands=2, rows_per_band=2
+    ).select(
+        F.col("a_docid").cast("long").alias("a_docid"),
+        F.col("b_docid").cast("long").alias("b_docid"),
+    )
+
+
+register(
+    "dedup_lsh_pairs",
+    _dedup_lsh_pairs,
+    f"""
+WITH {_SHINGLE_SQL}, {_MINHASH_SQL},
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || '_' || mh1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(mh2 || '_' || mh3) FROM sig
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS a_docid,
+                CAST(b.doc_id AS BIGINT) AS b_docid
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+
+
 def _dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_pairs
 
