@@ -22,6 +22,8 @@ Operators:
                       Mega-clusters of identical docs make a bucket
                       quadratic — collapse exact dups first (exact_dups) or
                       pass ``max_bucket``.
+- lsh_verified_pairs — banding candidates → exact Jaccard verify → optional
+                      threshold: the composed production near-dup pipeline
 - simhash           — 16-bit SimHash (compact oracle shape)
 - simhash_hex       — 64-bit SimHash as a 16-hex-digit string (production
                       shape; hex avoids 64-bit sign issues in both Spark and
@@ -199,6 +201,46 @@ def jaccard_pairs(
             F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
         )
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 16,
+    rows_per_band: int = 8,
+    max_bucket: int | None = None,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """The PRODUCTION near-dup path end-to-end: b×r banding candidates
+    (all bands, bucket cap) → exact token-set Jaccard verify over exactly
+    those pairs → optional threshold.
+
+    Shuffle shape at scale: the banding join keys on (band_id, band_key)
+    (bounded buckets); verification joins the candidate-pair set — delta-
+    sized, NOT the corpus — to token sets twice on docid.  No all-pairs
+    stage anywhere."""
+    pairs = lsh_candidate_pairs(
+        df, id_col, text_col, n_bands, rows_per_band, max_bucket
+    )
+    toks = df.select(
+        F.col(id_col).cast("long").alias("docid"),
+        F.array_distinct(_toks(F.col(text_col))).alias("ts"),
+    )
+    sided = (
+        pairs.join(toks.select(F.col("docid").alias("a_docid"), F.col("ts").alias("a_ts")), "a_docid")
+        .join(toks.select(F.col("docid").alias("b_docid"), F.col("ts").alias("b_ts")), "b_docid")
+    )
+    inter = F.size(F.array_intersect("a_ts", "b_ts"))
+    union = F.size("a_ts") + F.size("b_ts") - inter
+    out = sided.select(
+        "a_docid",
+        "b_docid",
+        F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+    )
+    if min_jaccard is not None:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
 
 
 def simhash_hex(

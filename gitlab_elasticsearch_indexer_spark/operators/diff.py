@@ -16,7 +16,9 @@ Semantics mirrored:
 Shape: one full-outer join on url (sort-merge at corpus scale; both sides
 bucketable on url for a shuffle-free join), then a broadcast-size join for
 rename pairing — rename candidates are |ADDED ∩ DELETED by hash|, tiny
-relative to the corpus.
+relative to the corpus.  COPY pairing semi-joins the (corpus-sized) set of
+surviving old urls down to the added rows' hashes FIRST, so the pairing
+join never materialises more than a delta-sized side anywhere.
 """
 
 from __future__ import annotations
@@ -91,9 +93,20 @@ def snapshot_diff(old_pages: DataFrame, new_pages: DataFrame) -> DataFrame:
     uniq_nonrenamed = nonrenamed_added.withColumn(
         "a_cnt", F.count("*").over(Window.partitionBy("n_md5"))
     ).filter(F.col("a_cnt") == 1)
+    # Restrict surviving_old to hashes that actually appear among the added
+    # rows BEFORE any broadcast: surviving_old alone is corpus-sized (every
+    # hash-unique url present in both snapshots), so broadcasting it directly
+    # would ship ~the whole url+md5 table to every executor.  The semi-join
+    # shrinks it to |ADDED|-delta size, which is the set the pairing can ever
+    # match.  No broadcast hint — AQE converts the now-tiny side on its own.
+    copy_sources = surviving_old.join(
+        uniq_nonrenamed.select(F.col("n_md5").alias("a_md5")),
+        surviving_old["o_md5"] == F.col("a_md5"),
+        "left_semi",
+    )
     copies = uniq_nonrenamed.join(
-        F.broadcast(surviving_old),
-        uniq_nonrenamed["n_md5"] == surviving_old["o_md5"],
+        copy_sources,
+        uniq_nonrenamed["n_md5"] == copy_sources["o_md5"],
     ).select(
         "url", "warc_ts", "html", "text", "lang", "doc_id",
         F.lit("COPIED").alias("op"),

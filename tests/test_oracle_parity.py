@@ -107,10 +107,33 @@ def _ids():
     return sorted(m.oracle_sql().keys())
 
 
+def _extra_ids():
+    """Demoted twin entries — excluded from the driver registry to fit its
+    harness cap, still parity-checked here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from gitlab_elasticsearch_indexer_spark.plans import entry_queries as eq
+
+    return sorted(eq.extra_oracle_sql().keys())
+
+
 @pytest.mark.parametrize("name", _ids())
 def test_parity(entry_mod, duck, spark, name):
     fn = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]
+    got = fn(spark, SF_MED).toPandas()
+    want = duck.sql(sql).df()
+    problems = compare(got, want)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", _extra_ids())
+def test_parity_extra(duck, spark, name):
+    from gitlab_elasticsearch_indexer_spark.plans import entry_queries as eq
+
+    fn = eq.extra_queries()[name]
+    sql = eq.extra_oracle_sql()[name]
     got = fn(spark, SF_MED).toPandas()
     want = duck.sql(sql).df()
     problems = compare(got, want)

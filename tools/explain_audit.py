@@ -137,6 +137,36 @@ def main() -> None:
         )
     )
 
+    from gitlab_elasticsearch_indexer_spark.operators.diff import snapshot_diff
+
+    pages_all = pages_from_documents(spark, sf)
+    diff_df = snapshot_diff(
+        pages_all.filter(F.col("doc_id") % 7 != 0),
+        pages_all.filter(F.col("doc_id") % 5 != 0),
+    )
+    # The only forced broadcast allowed in the diff plan is the RENAME
+    # pairing side (|hash-unique DELETED| — delete-sized).  COPY pairing
+    # must NOT hint a broadcast: its surviving_old input is corpus-sized
+    # before the semi-join restriction, so a hint there is a 100×-scale
+    # driver OOM.  Count ResolvedHints in the analyzed logical plan.
+    analyzed = diff_df._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("ResolvedHint")
+    assert n_hints <= 1, (
+        f"snapshot_diff carries {n_hints} broadcast hints; only the "
+        "delete-sized RENAME side may be hinted"
+    )
+    sections.append(
+        (
+            "snapshot diff (change-stream derivation)",
+            "Audit: one full-outer sort-merge join on url; RENAME pairing "
+            "broadcasts only the hash-unique DELETED side (delta-sized); "
+            "COPY pairing has NO broadcast hint — surviving_old is semi-"
+            "joined down to the added rows' hashes first, then AQE picks "
+            "the strategy (asserted: ≤1 ResolvedHint in the logical plan).",
+            formatted(diff_df),
+        )
+    )
+
     seg_scan_plan = formatted(seg_scan.select("term", "docid_range", "max_tf"))
     assert "CollectLimit" not in seg_scan_plan
     # bucket pruning must come from the driver-side xxhash64 twin — the
