@@ -71,13 +71,43 @@ def light_english_stem(token: str) -> str:
     return token[:-1]
 
 
+# Lucene ASCIIFoldingFilter mappings that NFKD decomposition does NOT
+# produce (no canonical/compatibility decomposition to an ASCII base):
+# ligatures, crossed/slashed letters, Icelandic/Old-English letters.
+# Subset of the published filter table (Apache Lucene, public source);
+# applied after NFKD so precomposed accents are already handled.
+_FOLD_MAP = {
+    "Æ": "AE", "æ": "ae",      # Æ æ
+    "Œ": "OE", "œ": "oe",      # Œ œ
+    "ß": "ss", "ẞ": "SS",      # ß ẞ
+    "Ø": "O", "ø": "o",        # Ø ø
+    "Ð": "D", "ð": "d",        # Ð ð (eth)
+    "Þ": "TH", "þ": "th",      # Þ þ (thorn)
+    "Đ": "D", "đ": "d",        # Đ đ (stroke)
+    "Ħ": "H", "ħ": "h",        # Ħ ħ
+    "ı": "i",                        # ı (dotless i)
+    "ĸ": "q",                        # ĸ (kra)
+    "Ł": "L", "ł": "l",        # Ł ł
+    "Ŧ": "T", "ŧ": "t",        # Ŧ ŧ
+    "ŉ": "'n",                       # ŉ
+    "‘": "'", "’": "'",        # curly single quotes
+    "“": '"', "”": '"',        # curly double quotes
+    "–": "-", "—": "-",        # en/em dash
+}
+
+
 def ascii_fold(token: str) -> str:
-    """Lucene asciifolding approximation: NFKD + strip combining marks."""
+    """Lucene asciifolding: NFKD + strip combining marks, then the explicit
+    ASCIIFoldingFilter mappings NFKD can't reach (ß→ss, Ø→O, Æ→AE, …).
+    Unmapped non-ASCII codepoints pass through unchanged (same as before)."""
     if token.isascii():
         return token
-    return "".join(
+    s = "".join(
         c for c in unicodedata.normalize("NFKD", token) if not unicodedata.combining(c)
     )
+    if s.isascii():
+        return s
+    return "".join(_FOLD_MAP.get(c, c) for c in s)
 
 
 def edge_ngrams(token: str, min_gram: int = 2, max_gram: int = 40) -> list[str]:
@@ -203,6 +233,21 @@ ANALYZERS: dict[str, Callable[[str], list[str]]] = {
     "ngram": analyze_ngram,
 }
 
+# Analyzer implementation versions, written into the index catalog at build
+# time and checked at search time.  Bump a version whenever the chain's
+# token output can change for the same input — the analyzer NAME alone is
+# not enough to detect that an index's stored postings no longer match
+# query-time analysis (the 'default' chain silently changed stemmers
+# between builds once; a name-only catalog made that undetectable).
+ANALYZER_VERSIONS: dict[str, str] = {
+    "default": "standard-lower-kstem-1",
+    "minimal_english": "standard-lower-minimal-1",
+    "simple": "lower-alnum-1",
+    "code": "ws-wdg-fold-edge2.40-2",  # v2: Lucene fold table beyond NFKD
+    "path": "pathrev-fold-2",          # v2: Lucene fold table beyond NFKD
+    "ngram": "ngram2.3-lower-1",
+}
+
 
 def tokenize_series(texts: pd.Series, analyzer: str = "default") -> pd.Series:
     """Vectorized entry point used by the pandas UDFs: Series[str] ->
@@ -214,24 +259,37 @@ def tokenize_series(texts: pd.Series, analyzer: str = "default") -> pd.Series:
 # ---------------------------------------------------------------------------
 # Offset-aware tokenization (index_options=offsets, §1.4)
 # ---------------------------------------------------------------------------
+_SIMPLE_CI_RE = re.compile(r"[a-zA-Z0-9]+")
+
+
 def analyze_simple_offsets(text: str) -> list[tuple[str, int, int]]:
     """simple chain with character offsets: (term, start, end) per token.
-    ``lower()`` is length-preserving for the corpus's scripts, so offsets
-    index into the ORIGINAL string (Lucene offset semantics)."""
+
+    Tokenizes the ORIGINAL string (case-insensitive pattern) and lowers each
+    matched token afterwards — NOT ``text.lower()`` first, because lowering
+    is not length-preserving for all inputs (U+0130 'İ' lowercases to two
+    chars), which would shift every subsequent offset.  Offsets therefore
+    always index the unmodified string (Lucene offset semantics).  Matched
+    tokens are pure ASCII, so the per-token ``lower()`` is length-safe."""
     return [
-        (m.group(0), m.start(), m.end()) for m in _SIMPLE_RE.finditer(text.lower())
+        (m.group(0).lower(), m.start(), m.end())
+        for m in _SIMPLE_CI_RE.finditer(text)
     ]
 
 
 def analyze_default_offsets(text: str) -> list[tuple[str, int, int]]:
     """default chain with offsets: the stemmed term carries the ORIGINAL
     token's offsets — token filters never move offsets (Lucene contract),
-    which is what makes highlighting work on stemmed indexes."""
+    which is what makes highlighting work on stemmed indexes.
+
+    Tokenizes the original string and lowers per matched token (see
+    analyze_simple_offsets for why whole-string lower() would corrupt
+    offsets)."""
     from . import kstem
 
     return [
-        (kstem.stem(m.group(0)), m.start(), m.end())
-        for m in _STANDARD_RE.finditer(text.lower())
+        (kstem.stem(m.group(0).lower()), m.start(), m.end())
+        for m in _STANDARD_RE.finditer(text)
     ]
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import ANALYZER_SIMPLE, BLOCK_SIZE, DOCS_PER_RANGE, N_TERM_BUCKETS
+from ..functions.analysis import ANALYZER_VERSIONS
 from ..operators.docs import build_docs
 from ..operators.postings import build_segments, term_stats_from_segments
 from ..operators.tokenize import tokens_expr
@@ -301,6 +302,7 @@ def build_index(
         fields=field_meta or None,
         with_offsets=with_offsets,
         total_tokens=total_tokens,
+        analyzer_version=ANALYZER_VERSIONS.get(analyzer),
     )
     cat.write_catalog(index_dir, catalog)
     cat.commit_snapshot(index_dir, snapshot)

@@ -228,6 +228,7 @@ def apply_delta(
         parent_snapshot=None if materialize else old.snapshot,
         chain_depth=0 if materialize else old.chain_depth + 1,
         total_tokens=totals["dl"],
+        analyzer_version=old.analyzer_version,
     )
     cat.write_catalog(index_dir, catalog)
 

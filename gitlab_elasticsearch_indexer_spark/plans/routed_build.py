@@ -19,7 +19,8 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.meta import meta_docs_from_pages
 from .build_index import build_index
@@ -43,21 +44,30 @@ def build_routed(
     analyzer: str = "simple",
     snapshot: str = "s1",
     project_id: int = 1,
+    with_positions: bool = False,
+    with_offsets: bool = False,
+    resume: bool = False,
 ) -> RoutedBuildResult:
     if blob_type not in ("blob", "wiki_blob"):
         raise ValueError(f"unknown blob type {blob_type!r}")
     blob_index = os.path.join(root_dir, f"{blob_type}_index")
     catalog = build_index(
         spark, pages, blob_index, analyzer=analyzer, snapshot=snapshot,
-        project_id=project_id,
+        project_id=project_id, with_positions=with_positions,
+        with_offsets=with_offsets, resume=resume,
     )
     commits_table = None
     commit_docs = 0
     if not skip_commits:
         commits_table = os.path.join(root_dir, "commits")
-        meta = meta_docs_from_pages(pages, project_id=project_id)
+        # observe() collects the row count DURING the write job — no second
+        # count() pass over the just-written table
+        obs = Observation("commits_write")
+        meta = meta_docs_from_pages(pages, project_id=project_id).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
         meta.write.mode("overwrite").parquet(commits_table)
-        commit_docs = spark.read.parquet(commits_table).count()
+        commit_docs = int(obs.get["n"])
     return RoutedBuildResult(
         blob_index=blob_index,
         blob_type=blob_type,

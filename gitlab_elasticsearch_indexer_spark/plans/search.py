@@ -26,14 +26,61 @@ from ..sources import catalog as cat
 
 
 class Searcher:
-    def __init__(self, spark: SparkSession, index_dir: str, snapshot: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        snapshot: str | None = None,
+        allow_analyzer_mismatch: bool = False,
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.catalog = cat.read_catalog(index_dir, snapshot)
+        self._check_analyzer_version(allow_analyzer_mismatch)
         snap = self.catalog.snapshot
         self.segments = cat.read_table(spark, index_dir, "segments", snap)
         self.term_stats = cat.read_table(spark, index_dir, "term_stats", snap).cache()
-        self.docs = cat.read_table(spark, index_dir, "docs", snap).cache()
+        # Cache only metadata + per-field dl columns: `content` is the doc
+        # body — at corpus scale caching it would hold ~the whole corpus in
+        # executor memory for queries that never read it.  Display/snippet
+        # columns are fetched lazily per result page (docs_content below).
+        self.docs = (
+            cat.read_table(spark, index_dir, "docs", snap).drop("content").cache()
+        )
+
+    def _check_analyzer_version(self, allow_mismatch: bool) -> None:
+        """Refuse to search an index whose analyzer implementation differs
+        from the current code's: query terms would be stemmed/tokenized
+        differently than the stored postings — silent wrong results (the
+        catalog used to record only the analyzer NAME, which stayed
+        'default' across the r1→r2 EnglishMinimalStemmer→KStem change)."""
+        from ..functions.analysis import ANALYZER_VERSIONS
+
+        stored = getattr(self.catalog, "analyzer_version", None)
+        current = ANALYZER_VERSIONS.get(self.catalog.analyzer)
+        if stored is None or current is None or stored == current:
+            return
+        msg = (
+            f"index {self.index_dir!r} was built with analyzer "
+            f"{self.catalog.analyzer!r} version {stored!r}, but this code "
+            f"implements version {current!r}; query-time analysis would not "
+            "match the stored postings. Rebuild the index, or pass "
+            "allow_analyzer_mismatch=True to search anyway."
+        )
+        if allow_mismatch:
+            import warnings
+
+            warnings.warn(msg)
+        else:
+            raise ValueError(msg)
+
+    def docs_content(self) -> DataFrame:
+        """(docid, content) — lazy, uncached: the display/snippet fetch path.
+        Parquet column pruning keeps this a 2-column scan; callers join it
+        per result page rather than holding content in the serving cache."""
+        return cat.read_table(
+            self.spark, self.index_dir, "docs", self.catalog.snapshot
+        ).select("docid", "content")
 
     def _field_conf(self, field: str) -> tuple[str, str, float, str]:
         """→ (analyzer, term_prefix, avgdl, dl_col) for a field (reference:
@@ -146,9 +193,15 @@ class Searcher:
         analyzed = analyze_query_seq(term, self.catalog.analyzer)
         if len(analyzed) != 1:
             raise ValueError("highlight takes a single term")
-        return highlight_term(self.segments, self.docs, analyzed[0], window=window)
+        return highlight_term(
+            self.segments, self.docs_content(), analyzed[0], window=window
+        )
 
     def lookup(self, doc_id: str) -> DataFrame:
         """Point GET by document id (reference test-only read path,
-        elastic/client.go:231-246) — K8."""
-        return self.docs.filter(F.col("id") == doc_id)
+        elastic/client.go:231-246) — K8.  Reads the uncached table so the
+        full document (including content) comes back; the id predicate is
+        pushed to the parquet scan."""
+        return cat.read_table(
+            self.spark, self.index_dir, "docs", self.catalog.snapshot
+        ).filter(F.col("id") == doc_id)

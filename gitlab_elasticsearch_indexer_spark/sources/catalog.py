@@ -58,6 +58,11 @@ class Catalog:
     # exact total token count — carried so incremental merges can update
     # n_docs/avgdl arithmetically from delta-sized aggregates
     total_tokens: int | None = None
+    # analyzer IMPLEMENTATION version (functions/analysis.ANALYZER_VERSIONS
+    # at build time).  Searcher refuses a version mismatch: same analyzer
+    # name + different token output = silent wrong results otherwise.
+    # None on indexes built before this field existed (warn-only).
+    analyzer_version: str | None = None
 
 
 def snapshot_dir(index_dir: str, snapshot: str) -> str:

@@ -77,6 +77,9 @@ def main() -> None:
             skip_commits=args.skip_commits,
             analyzer=args.analyzer,
             snapshot=args.snapshot,
+            with_positions=args.positions,
+            with_offsets=args.offsets,
+            resume=args.resume,
         )
         print(
             f"routed build: {res.blob_type}_index n_docs={res.blob_docs} "

@@ -174,6 +174,39 @@ class TestAnalyzers:
     def test_ascii_fold(self):
         assert analysis.ascii_fold("Crème-Brûlée") == "Creme-Brulee"
 
+    def test_ascii_fold_lucene_table(self):
+        # explicit ASCIIFoldingFilter mappings NFKD cannot produce
+        # (Lucene ASCIIFoldingFilter.java, public)
+        for src, want in [
+            ("straße", "strasse"),
+            ("Øresund", "Oresund"),
+            ("Ægir", "AEgir"),
+            ("œuvre", "oeuvre"),
+            ("Þór", "THor"),
+            ("Davíð", "David"),
+            ("Łódź", "Lodz"),
+            ("ħello", "hello"),
+            ("ırmak", "irmak"),
+            ("đavo", "davo"),
+        ]:
+            assert analysis.ascii_fold(src) == want, src
+        # unmapped non-ASCII still passes through unchanged
+        assert analysis.ascii_fold("日本") == "日本"
+
+    def test_offsets_index_original_string(self):
+        # U+0130 'İ' lowercases to TWO chars; offsets must still index the
+        # ORIGINAL string (whole-string lower() would shift every span)
+        text = "İstanbul query"
+        out = analysis.analyze_default_offsets(text)
+        terms = [t for t, _, _ in out]
+        assert "query" in terms
+        qt, qs, qe = next(x for x in out if x[0] == "query")
+        assert text[qs:qe] == "query"
+        out_simple = analysis.analyze_simple_offsets("İİ Spark DATA")
+        for term, s, e in out_simple:
+            assert "İİ Spark DATA"[s:e].lower() == term
+        assert [t for t, _, _ in out_simple] == ["spark", "data"]
+
     def test_code_analyzer(self):
         toks = analysis.analyze_code("fooBar")
         assert "foobar" in toks  # preserve_original, folded+lowered

@@ -200,6 +200,36 @@ class TestRankIdentity:
         url = "https://example.com/src0/doc0.html"
         row = s.lookup(f"1_{url}").collect()
         assert len(row) == 1 and row[0]["url"] == url
+        assert row[0]["content"]  # point GET returns the full doc
+
+    def test_serving_cache_excludes_content(self, spark, index_dir):
+        s = Searcher(spark, index_dir)
+        assert "content" not in s.docs.columns
+        assert set(s.docs_content().columns) == {"docid", "content"}
+
+    def test_analyzer_version_guard(self, spark, index_dir):
+        import json
+        import os
+
+        s = Searcher(spark, index_dir)
+        assert s.catalog.analyzer_version  # written at build time
+        # simulate an index built by an older analyzer implementation
+        cpath = os.path.join(index_dir, "s1", "catalog.json")
+        with open(cpath) as f:
+            doc = json.load(f)
+        orig = doc["analyzer_version"]
+        doc["analyzer_version"] = "lower-alnum-0-OLD"
+        with open(cpath, "w") as f:
+            json.dump(doc, f)
+        try:
+            with pytest.raises(ValueError, match="analyzer"):
+                Searcher(spark, index_dir)
+            with pytest.warns(UserWarning, match="analyzer"):
+                Searcher(spark, index_dir, allow_analyzer_mismatch=True)
+        finally:
+            doc["analyzer_version"] = orig
+            with open(cpath, "w") as f:
+                json.dump(doc, f)
 
 
 def _specials_pdf(spark):
@@ -325,7 +355,7 @@ class TestOffsetsAndHighlight:
             .sort_values(["docid", "start"])
             .reset_index(drop=True)
         )
-        docs = s.docs.select("docid", "content").toPandas()
+        docs = s.docs_content().toPandas()
         expect = []
         for r in docs.itertuples(index=False):
             for m in re.finditer(r"[a-z0-9]+", r.content.lower()):
@@ -341,7 +371,9 @@ class TestOffsetsAndHighlight:
         )
 
         s = Searcher(spark, offsets_idx)
-        frags = highlight_term(s.segments, s.docs, "customer", window=10).toPandas()
+        frags = highlight_term(
+            s.segments, s.docs_content(), "customer", window=10
+        ).toPandas()
         assert len(frags) > 0
         assert all("«" in x and "»" in x for x in frags["snippet"])
         # the wrapped region is exactly the matched term (case-insensitive)

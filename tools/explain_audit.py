@@ -103,7 +103,9 @@ def main() -> None:
             "exhaustive BM25 top-k",
             "Audit: term_stats joined via BroadcastHashJoin (tiny side); "
             "docs side scans ONLY docid+dl (ReadSchema pruning; the serving "
-            "Searcher instead caches docs, trading scan pruning for reuse); "
+            "Searcher caches the docs table WITHOUT content — display and "
+            "snippet columns come from an uncached per-page fetch, so the "
+            "serving cache is metadata-sized, not corpus-sized); "
             "partial_sum before the docid Exchange (map-side combine); "
             "TakeOrderedAndProject for the global top-k (no full sort).",
             formatted(hits),
@@ -145,16 +147,26 @@ def main() -> None:
         pages_all.filter(F.col("doc_id") % 5 != 0),
     )
     # The only forced broadcast allowed in the diff plan is the RENAME
-    # pairing side (|hash-unique DELETED| — delete-sized).  COPY pairing
-    # must NOT hint a broadcast: its surviving_old input is corpus-sized
-    # before the semi-join restriction, so a hint there is a 100×-scale
-    # driver OOM.  Count ResolvedHints in the analyzed logical plan.
-    analyzed = diff_df._jdf.queryExecution().analyzed().toString()
-    n_hints = analyzed.count("ResolvedHint")
-    assert n_hints <= 1, (
-        f"snapshot_diff carries {n_hints} broadcast hints; only the "
-        "delete-sized RENAME side may be hinted"
-    )
+    # pairing side (|hash-unique DELETED| — delete-sized, its output carries
+    # del_url).  COPY pairing must NOT hint a broadcast: its surviving_old
+    # input is corpus-sized before the semi-join restriction, so a hint
+    # there is a 100×-scale driver OOM.  Walk the analyzed logical plan and
+    # check every ResolvedHint wraps the deleted side.
+    def _walk_hints(node, found):
+        if node.nodeName() == "ResolvedHint":
+            found.append(node)
+        kids = node.children()
+        for i in range(kids.length()):
+            _walk_hints(kids.apply(i), found)
+
+    hint_nodes: list = []
+    _walk_hints(diff_df._jdf.queryExecution().analyzed(), hint_nodes)
+    for h in hint_nodes:
+        out_cols = h.output().mkString(",")
+        assert "del_url" in out_cols, (
+            "snapshot_diff hints a broadcast on a non-DELETED-side input "
+            f"(output: {out_cols}) — corpus-sized broadcast risk"
+        )
     sections.append(
         (
             "snapshot diff (change-stream derivation)",
