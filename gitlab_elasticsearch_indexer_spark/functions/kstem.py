@@ -12,8 +12,10 @@ stem is a dictionary headword — the defining property that makes KStem far
 more conservative (and rank-stable) than Porter-family stemmers.
 
 Divergence, documented: Lucene ships a ~30k-headword lexicon
-(KStemData1-8); this module embeds a curated ~1.3k-headword subset of
-common English plus the same conservative fallbacks.  Consequences:
+(KStemData1-8); this module embeds a curated ~3.8k-headword subset of
+common English (round 3 tripled the original ~1.3k set with frequency-
+banded everyday vocabulary plus -ion/-ive/-ity/-ness lemma families) and
+the same conservative fallbacks.  Consequences:
 
 - words COVERED by the embedded lexicon stem identically to Lucene KStem
   (golden-tested in tests/test_functions.py);
@@ -199,7 +201,299 @@ eternal journal general mineral federal liberal literal natural cultural
 structural central neutral spiral moral rural plural mural
 """
 
-_DICT: set[str] = set(_LEXICON_TEXT.split())
+# ---------------------------------------------------------------------------
+# Lexicon expansion (round 3): ~2.5k additional unambiguous English
+# headwords in frequency/theme bands.  Two effects, both toward Lucene
+# parity: (1) headwords are PROTECTED from suffix mis-strips ("news" stays
+# "news"), (2) derivational rules may now conflate onto them
+# ("effectiveness"→"effective").  Still a curated subset of Lucene's ~30k
+# KStemData1-8 — documented divergence; load_lexicon() accepts the full
+# published list where available.
+# ---------------------------------------------------------------------------
+_LEXICON_TEXT_2 = """
+absence accept account accuse ache achieve acid acre adapt adjust
+admire admit adopt adult advance advantage adventure advertise afford afraid
+afternoon against agenda aggressive ago aid aim airport alarm album
+alcohol alert alike alive alley allowance almost alone aloud alphabet
+already alter alternative although altitude aluminum amaze ambulance among amount
+ample amuse analyze ancestor anchor angel anger angle angry ankle
+anniversary announce annoy annual answer ant antenna anxiety anxious apart
+apology apparent appeal appetite applaud apple appoint appreciate approach approximate
+april apron arch architect arctic area arena argue arise arithmetic
+arm armor arrange arrest arrow ash ashamed aside asleep aspect
+assault assemble assert assess asset assign assist assume assure astonish
+athlete atmosphere atom attach attack attempt attend attention attic attitude
+attorney audience august aunt author autumn avenue average avoid awake
+award awful awkward axis baby bachelor bacon bacteria badge bag
+balance balcony bald ball balloon ballot bamboo banana band bandage
+bank banner barber bargain bark barn barrel barrier basic basin
+basket bat bath bathe bay beach bead beam bean bear
+beard beast beat beautiful beaver bed bee beef beer beetle
+before beg begin behalf behave behind bell belly belong below
+belt bench bend benefit berry beside besides between beware bicycle
+bill bind bird birth biscuit bishop bitter black blade blank
+blanket blast blaze bleed bless blind blink blister blizzard block
+blood bloom blossom blow board boast boat boil bold bolt
+bomb bond bone bonnet book boom boot border bored borrow
+bottom bounce bowl box brain brake brass brand bread breadth
+breakfast breast breath breathe breed breeze brick bride brief brilliant
+brim bring broad broadcast bronze brook broom brother brow brown
+brush bubble bucket buckle bud budget bug bulb bulk bull
+bullet bundle burden bureau burn burst bush busy butter button
+cabbage cabin cabinet cable cafe cage calendar calf calm camel
+camera camp campaign canal candidate candle candy cane cannon canoe
+canyon cap capable capacity cape captain capture carbon card cardboard
+career careful cargo carpenter carpet carrot carve castle cat catalog
+cattle caution cave ceiling cell cellar cement cemetery cent center
+century cereal ceremony chain chair chalk challenge chamber champion chance
+channel chapter character charity charm chart chase chat cheap cheat
+check cheek cheer cheese chemical chemistry cherry chest chew chicken
+chief chin china chip chocolate choir choke chop chorus church
+cigarette cinema circuit circumstance citizen civil claim clap clarify clash
+clasp claw clay clerk clever click client cliff climate climb
+cling clinic clip cloak clock cloth clothe cloud clown club
+clue clumsy coach coal coast coat coax cock cocoa coconut
+coffee coil coin collar college colony color column comb combat
+comedy comfort command commerce committee compact companion compass compel compete
+complain complete complex component compound comprehend compute conceal concentrate concept
+concern concert conclude concrete condemn conduct cone conference confess confidence
+conflict confront congress conquer conscience conscious consent consequence conserve consider
+consist console conspire constitute consult consume contain contempt contest context
+continent contract contrast contribute convenient convention converse convert convey convince
+cook cool copper copy cord cork corn corner corporation correspond
+corridor corrupt cost costume cottage cotton couch cough council counsel
+counter courage course court cousin crab crack cradle craft crane
+crash crawl crazy cream creature credit creek creep crew cricket
+crime crisp critic crop crowd crown crude cruel cruise crumb
+crush crust crystal cube cubic cultivate culture cunning cup cupboard
+curb curious curl currency curtain curse curve cushion custom customary
+dairy daisy dam dance danger dawn dazzle dean dear debt
+decade decay deceive december decent deck declare decorate decrease deed
+deer defeat defect defense deficit degree delay deliberate delicate delicious
+delight deliver demand democracy demonstrate dentist depart deposit depress depth
+deputy derive descend describe desert design desk despair desperate despise
+dessert destine destroy detail detect determine device devil devote dew
+diagram dial diamond diary dictate dictionary diet differ digest dignity
+dim dinner dip diploma disappoint disaster discipline discount discover discuss
+disease disgust dish dismiss display dispute dissolve distance distinct distinguish
+district disturb ditch dizzy dock doctor doctrine dog doll dollar
+domain domestic dominate donkey dot doubt dough dozen draft drag
+drain drama drawer dream drift drill drink drip drum dull
+dumb dump dust dwell each eager eagle ear earn earnest
+earth east easter echo ecology edit editor educate eel effective
+egg eight either elaborate elastic elbow elder electron elegant elephant
+elevate eleven eliminate elite else embarrass embrace emerge emergency emotion
+emperor employ empire enclose encounter encourage endure enemy engage engineer
+enjoy enormous enough ensure enter enterprise entertain enthusiasm entrance entry
+envelope episode equation equator equip era erase erect erode errand
+escape escort essay essence establish estate esteem estimate evaluate evaporate
+eve evil exaggerate examine exceed excellent except exchange exclaim exclude
+execute exempt exercise exhaust exhibit exile exist exit expand expense
+expert expire explode exploit explore express extra extraordinary extreme fabric
+facility fade fail faint faith falcon false fame familiar famine
+famous fancy fantastic farm fashion fasten fat fatal fate fault
+favor favorite fear feast feather february fee feeble feed fellow
+female fence fertile festival fever fiber fiction fierce fifteen fifty
+fig fight figure film fin finance finger finish fish fist
+fix flag flake flash flask flavor flaw flee fleet flesh
+flight fling flint flip float flock flood floor flour flourish
+fluid flush foam fog fold folk fond food fool forbid
+forecast forehead forest forever forge forgive fork fortune forty forum
+forward fossil foster foul found fountain four fox fraction fragment
+fragrant frame fraud freeze freight frequent friday fridge fright frog
+front frontier frost frown fruit fry fuel fun fund funeral
+funnel funny fur furious furnace furnish furniture future fuzzy gain
+gallery gallon gallop gamble gang garage garbage garden garlic garment
+gather gaze gear gem gene genius gentle genuine gesture ghost
+giant gift giggle ginger giraffe glad glance glare glass glide
+glimpse globe gloom glory glow glue goal goat gold golf
+gossip govern gown grace grade gradual grain grand grant grape
+grasp grateful grave gravel gravity gray grease greed greet grey
+grief grill grim grin grind grip groan grocery groom groove
+ground grove guarantee guard guest guilt guitar gulf gum gun
+gut habit hail hair half hall halt hammer handle handsome
+hang harbor harmony harsh harvest haste hatch haul hawk hay
+hazard head heal health heap heart heat heaven heavy hedge
+heel height hell hello helmet hen herd hero hesitate hill
+hinge hip hire hollow holy honest honey honor hood hook
+horizon horn horror horse hose hotel hound howl hug human
+humor hunger hunt hurl hurricane hurt husband hut hymn ice
+icon ideal identify identity idle ignorant ill illustrate imagine imitate
+immediate immigrant immune implement imply impress impulse inch incline income
+increase indeed indicate individual indoor infant infect inferior inflate influence
+inherit initial initiative injure ink inn inner innocent inquire insect
+insert insist inspect install instance instead institute insult insure intact
+integrate intelligent intense interact interfere interior interpret interrupt interval interview
+intimate introduce invade invent invest investigate invite involve iron irrigate
+irritate island isolate item ivory jacket jail january jar jaw
+jazz jealous jelly jet jewel join joke journey joy judge
+juice july jump junction june junior jury kangaroo keen kettle
+kick kid kidney kind kingdom kit kitchen kite kitten knee
+kneel knife knock knot label labor laboratory lace lack ladder
+lady lamb lame lamp land lane lantern lap laser laugh
+launch laundry lawn lawyer layer lazy lean leap lease leather
+lecture ledge legend leisure lemon length lesson letter lettuce level
+lever liberty lid lift light lightning limb lime limp linen
+linger link lion lip liquid liquor literary litter liver load
+loan lobby lobster local locate lodge loft log lonely loop
+lord lorry loud lounge loyal luck luggage lumber lump lunch
+lung lure lurk machinery mad magazine magnet maid mail main
+maintain majesty male mall mammal manner mansion manual manufacture manuscript
+maple marble march margin marine mark market marsh marvel mask
+mason mat match material mature maximum may maybe mayor meadow
+meal measure meat mechanism medicine medium melody melon melt mention
+menu mercy mere merit mermaid merry mess metal meter method
+middle might mild mile military milk mill million mind mine
+minimum minister minor mint miracle mirror mischief misery mist mistake
+mix mixture mob mobile mock mode model moderate modest modify
+moist mole monarch monday monitor monkey monster month mood moon
+mop moral morale mortal mosquito moss motel moth motion motive
+motor mount mourn mouth mud mule multiple multiply murder murmur
+muscle museum mushroom mutter mutual myth nail naked narrow nasty
+navy near neat necessary neck needle negative neglect negotiate neighbor
+nephew nerve nest net nettle never nevertheless niece nine noble
+nod noise none noon nor north nose notable notch notion
+noun novel november nowhere nuclear nucleus nuisance numerous nun nurse
+nut nylon oak oar oath obey oblige obscure observe obstacle
+obtain obvious occasion occupy ocean october odd odor off offend
+offense often oil old olive omit once onion onto onward
+opera opponent opportunity oppose opposite oral ordinary organ orient ornament
+orphan ostrich ought ounce outcome outdoor outer outfit output oval
+oven overall overcome overlap overseas overtake owe owl own oxygen
+oyster pace pack pad pail pain pair palace pale palm
+pan pancake panel pant paper parade parallel parcel pardon park
+parliament parrot participate particular partner pastry pasture patch patent patrol
+pattern pause pave paw pea peace peach peak peanut pear
+pearl peasant pebble peculiar pedal peel peer pen penalty pencil
+penny pension pepper perceive percent perch perfume peril period permanent
+persist personnel persuade pest pet petrol petty pharmacy phenomenon phrase
+piano pick picture pie piece pierce pig pigeon pile pill
+pillar pillow pilot pin pinch pine pink pint pioneer pipe
+pirate pistol pit pitch pity pixel plain plane planet plant
+plaster plate platform plead pleasant pledge plenty plot plow pluck
+plug plum plumber plunge pocket poem poet poetry poison pole
+police polish polite poll pond pony pool pop porch pork
+porridge portion portrait possess post postpone pot potato pottery pouch
+poultry pound pour poverty powder praise pray preach precious precise
+prefer pregnant prejudice premise prescribe presence preside pretend pretty prey
+priest prime primitive prince principal principle prison privilege prize probable
+proceed proclaim profession professor profile profit prohibit prominent promise prompt
+pronounce proof proper property proportion propose prosper protest protein proud
+proverb pub publish pull pulse pump pumpkin punch punish pupil
+puppet puppy purchase purpose purse pursue push puzzle pyramid qualify
+quantity quarrel quarter queen quench quest quick quit rabbit race
+rack radar radio rail railway rain rainbow rally ranch random
+rank rapid rat rather ratio rattle raw ray razor reckon
+recall recipe recite recommend reconcile recover recruit rectangle recycle reduce
+reed reef refine refrain refresh refuge regard regime regiment register
+regular rehearse reign rein reinforce relax relevant relief relieve religion
+reluctant remark remedy remind remote render renew rent repair repeat
+repent replace represent reproduce reptile republic reputation rescue resemble resent
+reside resign resist resolute resource rest restaurant restrain restrict resume
+retail retain retreat reveal revenge revenue reverse review revive reward
+rhyme rhythm rib ribbon rice rid rifle rig rim riot
+rip ripe risk rival river road roam roar roast rob
+robe robin robot rock rocket rod roll roof rook rooster
+rope rot rotate rough round route routine royal ruin rule
+rumor rust sack sacred sacrifice sad saddle sail sake salad
+salary salmon salt salute sand sandal sandwich sane satellite satisfy
+saturday sauce saucer sausage savage saw scale scalp scandal scarce
+scare scarf scene scent schedule scheme scholar science scissors scold
+scoop scooter scorn scout scrap scrape scratch scream screen screw
+script scrub sea seal seam season seat secret secretary section
+secure seed seek seize seldom seminar senate senior sentence separate
+september sergeant session settle seven severe sew shabby shade shadow
+shaft shall shallow shame shampoo shape shatter shave shawl shed
+sheep sheer sheet shelf shell shelter shepherd shield shift shine
+shiver shock shoe shoot shop shore shoulder shout shovel shower
+shrewd shriek shrink shrub shrug shun shy sick siege sigh
+sight sign signature silence silk silly silver similar sincere sink
+sir siren sister six sketch ski skill skin skirt skull
+sky slab slack slam slap slave sleep sleeve slender slice
+slide slight slim slime slogan slope slot slow slump smack
+smart smash smell smile smoke smooth snack snail snap snatch
+sneak sneeze sniff snow soak soap soar sob sober soccer
+sociable sock soda sofa soft soil soldier sole solemn solid
+solo solution somehow somewhat son song soon soothe sore sorrow
+sorry soul sound soup sour south sow space spade spare
+spark sparrow spear species specimen spectacle speech speed spell spider
+spill spin spine spirit spit splash splendid splinter sponge spoon
+spot spouse spray spread spy squad square squeeze squirrel stab
+stable stadium staff stain stair stake stale stall stamp staple
+stare startle starve station statue stature stature steady steak steal
+steam steel steep steer stem stern stew stick stiff still
+stimulate sting stitch stock stocking stomach stone stool stoop storage
+store stork story stout stove straight strain strait strand strange
+strap straw strawberry stray streak street strength stretch strict stride
+strife strike strip stripe strive stroke stroll structure struggle stubborn
+studio stuff stumble stun stupid sturdy style submit subscribe substance
+substitute subtract suburb succeed such suck sudden sue suffer sufficient
+sugar suit suitcase sullen summer summit summon sunday sunset superb
+superior supervise supper supreme surface surgeon surname surplus surrender surround
+survey survive suspend suspicion sustain swallow swamp swan swarm sway
+sweat sweater sweep sweet swell swift switch sword syllable symbol
+sympathy symptom syrup tablet tackle tact tail tailor talent tall
+tame tank tap tape target tariff taste tax taxi tea
+teach teacup tear tease technique tedious teenager telephone television temper
+temperature tempt tenant tend tender tennis tent tenth terrace terror
+testify testimony textbook texture thank theater theme therefore thermometer thick
+thief thigh thirst thirteen thirty thorn thorough thousand thread threat
+three thrill thrive throat throne throng throw thrust thumb thunder
+thursday thus ticket tide tidy tie tiger tight tile till
+tilt timber timid tin tiny tip tire tissue toad toast
+tobacco today toe together toil toilet tomato tomb tomorrow tone
+tongue tonight tool tooth top topic torch torment torrent tortoise
+torture toss touch tough tour tournament tow towel tower town
+toy trace track tractor trade tragedy trail trailer tramp trample
+transit translate transmit transparent trap tray treason treasure treat treaty
+tremble tremendous trench trial tribe tribute trick trifle trim trio
+triumph trolley troop trophy tropical trot trouble trousers trout truck
+trumpet trunk trust truth tub tube tuck tuesday tug tuition
+tumble tune tunnel turkey turtle tutor twelve twenty twig twin
+twist two tyranny ugly ultimate umbrella unanimous uncle underneath undertake
+uneasy unfold uniform unique unit universe university unless upward urban
+urge usual utensil utility utmost utter vacant vacation vaccine vague
+vain valley van vanish vanity vapor variety vast vault vegetable
+vehicle veil vein velvet vendor venture venue verb verdict verse
+vertical vessel vest veteran veto vex vibrate vice victim victory
+view vigor vine vinegar violet violin virtue visa visit vivid
+vocabulary vogue volume voluntary volunteer vowel voyage vulgar wade wage
+wagon waist wait wallet walnut wander ward warehouse warm warn
+warrant wash wasp waste watch wax weak wealth weapon wear
+weary weather weave web wedding wednesday weed weekend weep weigh
+weight welcome welfare west wet whale wharf wheat wheel whenever
+wherever whip whirl whisper whistle white wicked widow width wild
+wilderness wing wink winter wipe wisdom wish wit witch withdraw
+wither witness wonder wool worm worse worship worst worth wound
+wrap wreck wrench wrestle wring wrinkle wrist yard yarn yawn
+yell yellow yesterday yield yoke yolk youth zeal zebra zero
+zigzag zinc zone zoo station nation section option action fiction
+function fraction junction mission session passion fashion version vision decision
+division occasion region opinion union billion position condition tradition edition
+addition ambition revolution evolution situation population attention invention intention convention
+collection connection direction election selection protection reflection correction affection infection
+injection inspection instruction construction production introduction reduction destruction satisfaction reaction
+attraction transaction relation translation operation cooperation generation celebration examination imagination
+civilization communication application complication education dedication location vocation donation information
+formation foundation plantation temptation quotation reputation preparation restoration declaration administration
+illustration registration frustration concentration explanation observation conversation reservation motivation innovation
+invitation limitation irritation medication publication qualification notification identification opposition composition
+proposition competition definition recognition repetition exhibition ambition nutrition intuition institution
+distribution contribution execution solution resolution pollution caution auction creativity electricity
+capacity publicity simplicity velocity authority majority minority priority security maturity
+curiosity generosity personality reality quality equality morality mortality loyalty royalty
+novelty penalty casualty faculty difficulty community immunity opportunity unity dignity
+vicinity infinity humanity vanity charity clarity rarity weakness illness wilderness
+witness harness mattress fortress congress compress suppress express impress oppress
+distress actress countess princess hostess passive massive active native captive
+motive festive relative negative objective detective effective defective collective selective
+perspective executive sensitive expensive offensive defensive extensive intensive impressive expressive
+aggressive progressive possessive exclusive inclusive conclusive explosive persuasive decisive divisive
+abusive elusive primitive positive competitive repetitive additive fugitive alternative narrative
+cooperative comparative imperative conservative representative initiative
+"""
+
+_DICT: set[str] = set(_LEXICON_TEXT.split()) | set(_LEXICON_TEXT_2.split())
 
 
 def load_lexicon(words) -> None:
