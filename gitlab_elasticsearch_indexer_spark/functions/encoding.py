@@ -43,12 +43,36 @@ _MIN_DETECT_BYTES = 8
 _CODEC_PRIORITY = {
     "utf_8": 0,
     "cp932": 1, "shift_jis": 1,
-    "gb18030": 2,
-    "big5": 3,
-    "cp949": 4, "euc_kr": 4,
-    "shift_jis_2004": 5, "euc_jis_2004": 5,
-    "cp1252": 6, "latin_1": 7, "cp1251": 8, "koi8_r": 9,
+    # the EUC-JP family must outrank gb18030 (gb18030 strict-decodes nearly
+    # any 0xA1-0xFE run at zero chaos, so a tie means "gb18030 ate it"), but
+    # shift_jis_2004 must NOT — real GB18030 text ties with shift_jis_2004
+    # at (0, 0) and the GB reading is the likelier truth there.
+    "euc_jis_2004": 2, "euc_jp": 2,
+    "gb18030": 3,
+    "big5": 4,
+    "cp949": 5, "euc_kr": 5,
+    "shift_jis_2004": 6,
+    "cp1252": 7, "latin_1": 8,
+    # single-byte script codepages: script-specific pages rank before the
+    # Cyrillic ones because charset_normalizer proposes cp1251 for almost
+    # any high-byte run (its Cyrillic model is the loosest), so at equal
+    # (chaos, coherence) the specific page is the likelier truth.  ICU
+    # resolves the same tie with per-encoding language models — divergences
+    # beyond this ordering are listed in SCALE.md known-limits.
+    "cp1255": 9,   # Hebrew
+    "cp1256": 10,  # Arabic
+    "cp874": 11,   # Thai
+    "cp1253": 12,  # Greek
+    "cp1250": 13,  # Central European
+    "cp1251": 14, "koi8_r": 15, "iso8859_5": 16, "iso8859_7": 17,
 }
+
+# ISO-2022-JP announces itself with an escape sequence (ESC $ B / ESC $ @ /
+# ESC ( J) — ICU detects it structurally, not statistically
+# (indexer/encoding.go:56-80 candidate list includes it).  The scan must run
+# BEFORE the strict-UTF-8 fast path: ISO-2022-JP is pure 7-bit ASCII, so a
+# UTF-8 decode "succeeds" and would return the raw escape soup as text.
+_ISO2022_JP_MARKS = (b"\x1b$B", b"\x1b$@", b"\x1b(J")
 
 
 def _pick_candidate(matches):
@@ -75,6 +99,11 @@ def try_encode_bytes(data: bytes | None) -> str:
     """Best-effort conversion to UTF-8 (indexer/encoding.go:40-48,56-80)."""
     if data is None or len(data) == 0:
         return ""
+    if b"\x1b" in data and any(m in data for m in _ISO2022_JP_MARKS):
+        try:
+            return data.decode("iso2022_jp", errors="strict")
+        except (UnicodeDecodeError, LookupError):
+            pass
     try:
         return data.decode("utf-8", errors="strict")
     except UnicodeDecodeError:
@@ -105,13 +134,23 @@ def try_encode_series(blobs: pd.Series) -> pd.Series:
     that actually contain non-UTF-8 rows — i.e. almost never on a real
     webtext corpus."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     try:
         arr = pa.array(blobs, type=pa.binary())
         utf8 = arr.cast(pa.string())  # validates UTF-8 for the entire batch
         s = utf8.to_pandas()
         s.index = blobs.index
-        return s.fillna("").astype(object)
+        s = s.fillna("").astype(object)
+        # ISO-2022-JP is valid 7-bit ASCII, so it passes the UTF-8 cast as
+        # escape soup; one C-speed substring scan finds the rare offenders
+        # and re-routes just those rows through the structural decoder.
+        esc = pc.match_substring(utf8, "\x1b").to_pandas().fillna(False)
+        if esc.any():
+            esc.index = blobs.index
+            fix = blobs[esc].map(try_encode_bytes)
+            s.loc[fix.index] = fix
+        return s
     except (pa.ArrowInvalid, pa.ArrowTypeError):
         pass
     out = [try_encode_bytes(data) for data in blobs]

@@ -469,10 +469,52 @@ class TestEncodingCandidateOrdering:
             ("これはテストです。マージして下さい。", "shift_jis"),
             ("이것은 테스트입니다. 병합해 주세요.", "euc-kr"),
             ("Это тестовый документ, пожалуйста объедините изменения.", "cp1251"),
+            # structural detection: ISO-2022-JP announces itself via escape
+            # sequences, so round-trip must succeed regardless of statistics
+            ("これはテストです。マージして下さい。", "iso2022_jp"),
+            ("日本語のドキュメントをマージしてください。", "euc_jp"),
+            # single-byte script codepages behind the priority-table ordering
+            pytest.param(
+                "זהו מסמך בדיקה, אנא מזגו את השינויים האלה.",
+                "cp1255",
+                marks=pytest.mark.xfail(
+                    reason="charset_normalizer's Hebrew model never proposes "
+                    "cp1255 for this sample (offers cp1251 at coherence 0.59) "
+                    "— ICU divergence documented in SCALE.md known-limits; "
+                    "no candidate ordering can recover an absent candidate",
+                    strict=True,
+                ),
+            ),
+            ("هذه وثيقة اختبار، يرجى دمج هذه التغييرات.", "cp1256"),
+            ("Αυτό είναι ένα δοκιμαστικό έγγραφο, συγχωνεύστε τις αλλαγές.", "cp1253"),
         ],
     )
     def test_roundtrip(self, text, enc):
         assert encoding.try_encode_bytes(text.encode(enc)) == text
+
+    def test_iso2022_jp_without_detector_stats(self):
+        # short strings (< _MIN_DETECT_BYTES after the escape) still decode
+        # because the escape-mark scan runs before statistical detection
+        raw = "テスト".encode("iso2022_jp")
+        assert raw.startswith(b"\x1b$B")
+        assert encoding.try_encode_bytes(raw) == "テスト"
+
+    def test_false_escape_mark_falls_through(self):
+        # bytes containing an ISO-2022-JP mark but not valid ISO-2022-JP must
+        # fall through to the statistical chain, not raise
+        raw = b"\x1b$B\xff\xfe plain tail"
+        out = encoding.try_encode_bytes(raw)
+        assert isinstance(out, str) and out != ""
+
+    def test_series_fast_path_reroutes_iso2022(self):
+        # the Arrow batch fast path must not let ASCII-clean ISO-2022-JP
+        # escape soup through as "valid UTF-8"
+        import pandas as pd
+
+        jp = "これはテストです。"
+        blobs = pd.Series([b"plain ascii", jp.encode("iso2022_jp"), "ünïcode".encode()])
+        out = encoding.try_encode_series(blobs)
+        assert list(out) == ["plain ascii", jp, "ünïcode"]
 
 
 class TestXxhash64Parity:
