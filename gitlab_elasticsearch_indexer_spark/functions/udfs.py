@@ -25,6 +25,17 @@ def transcode_udf(html: pd.Series) -> pd.Series:
     return encoding.try_encode_series(html)
 
 
+@F.pandas_udf(T.StringType())
+def detect_lang_udf(texts: pd.Series) -> pd.Series:
+    """Content-based language ID (enry analog, reference
+    indexer/blob.go:116-127) — script gates + trigram profiles.  Callers
+    null-gate the input JVM-side (``when(lang_missing, content)``) so only
+    rows that actually need detection cross Arrow."""
+    from ..operators.langid import detect_language
+
+    return texts.map(lambda t: detect_language(t)[0] if t else None)
+
+
 def make_offsets_tokenizer_udf(analyzer: str):
     """Offset-aware tokenizer: ArrayType(Struct(term, start, end)) pandas
     UDF for chains supporting index_options=offsets (simple, default)."""

@@ -154,6 +154,92 @@ def label_centroids(
     )
 
 
+def ivf_write(
+    emb: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    n_probe_default: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the IVF index as a CELL-PARTITIONED vector table: the stored
+    layout that makes the pruning claim real.  Layout::
+
+        <path>/vectors/cell=<c>/…parquet   (vec_id, arr)
+        <path>/centroids/…parquet          (cell, centroid array<double>)
+
+    A search reads ``centroids`` (n_clusters rows — driver-sized by
+    construction), picks n_probe cells, and scans ``vectors`` with a
+    ``cell IN (…)`` filter that Spark turns into PartitionFilters — only
+    n_probe/n_clusters of the corpus is ever read (asserted on the physical
+    plan in tests/test_ann.py).  Same quantizer as :func:`ivf_topk`
+    (seeded KMeans, hash-deterministic ≤100 k training sample)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("arr"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    n_total = feat.count()
+    if n_total > 100_000:
+        mod = max(1, n_total // 100_000)
+        train = feat.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+    else:
+        train = feat
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    assigned = model.transform(feat).withColumnRenamed("prediction", "cell")
+    (
+        assigned.select("vec_id", "arr", "cell")
+        .repartition("cell")  # one writer task per cell → no small-file spray
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/vectors")
+    )
+    spark = emb.sparkSession
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(centers, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Query the stored IVF table: centroid ranking is driver-side arithmetic
+    over n_clusters rows (zero jobs against the corpus), then ONE
+    partition-pruned scan of the n_probe probe cells."""
+    import numpy as np
+
+    qvec = np.asarray(query_vec, dtype=np.float64)
+    cents = spark.read.parquet(path + "/centroids").collect()
+    d2 = {int(r["cell"]): float(((np.asarray(r["centroid"]) - qvec) ** 2).sum()) for r in cents}
+    probe_cells = sorted(d2, key=lambda c: d2[c])[:n_probe]
+
+    q_df = spark.createDataFrame([(qvec.tolist(),)], "qvec array<double>")
+    vecs = spark.read.parquet(path + "/vectors").filter(
+        F.col("cell").isin([int(c) for c in probe_cells])
+    )
+    if exclude_vec_id is not None:
+        vecs = vecs.filter(F.col("vec_id") != exclude_vec_id)
+    sim = F.round(cosine_col(F.col("arr"), F.col("qvec")), 4).alias("cosine")
+    return (
+        vecs.crossJoin(F.broadcast(q_df))
+        .select("vec_id", sim)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int,

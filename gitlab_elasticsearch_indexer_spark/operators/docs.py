@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..config import BINARY_SNIFF_LIMIT, LIMIT_FILE_SIZE
 from ..functions.ids import blob_id_col, date_fmt_col
-from ..functions.udfs import detect_binary_udf, transcode_udf
+from ..functions.udfs import detect_binary_udf, detect_lang_udf, transcode_udf
 
 
 def build_docs(
@@ -33,6 +33,7 @@ def build_docs(
     visibility_level: int = 0,
     repository_access_level: int = 0,
     docid_col: str = "doc_id",
+    detect_lang: bool = False,
 ) -> DataFrame:
     """pages (+ deterministic ``doc_id``) → DOCS (without ``dl``, which is
     joined in after tokenization).
@@ -40,6 +41,11 @@ def build_docs(
     When the golden ``text`` column is present, extraction parity demands the
     produced ``content`` be byte-identical to it for non-binary, non-too-large
     pages — asserted in tests/test_pipeline.py.
+
+    ``detect_lang=True`` fills a null/empty upstream ``lang`` from content
+    (enry analog, blob.go:116-127) — fallback only, never overrides upstream
+    truth; the detector input is null-gated JVM-side so rows with a ``lang``
+    ship nothing extra across Arrow.
     """
     pid = F.lit(project_id).cast("long")
     too_large = (F.octet_length(F.col("html")) > F.lit(limit_file_size)).alias(
@@ -54,7 +60,7 @@ def build_docs(
         .alias("content")
     )
 
-    return (
+    out = (
         pages.withColumn("too_large", too_large)
         .withColumn("is_binary", F.when(F.col("too_large"), F.lit(False)).otherwise(is_binary))
         .select(
@@ -73,3 +79,16 @@ def build_docs(
             F.lit(repository_access_level).cast("int").alias("repository_access_level"),
         )
     )
+    if detect_lang:
+        missing = F.col("lang").isNull() | (F.col("lang") == "")
+        out = out.withColumn(
+            "lang",
+            F.when(
+                missing,
+                F.coalesce(
+                    detect_lang_udf(F.when(missing, F.col("content"))),
+                    F.lit("und"),
+                ),
+            ).otherwise(F.col("lang")),
+        )
+    return out

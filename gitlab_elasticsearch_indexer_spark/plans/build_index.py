@@ -121,6 +121,7 @@ def build_index(
     extra_fields: dict[str, str] | None = None,
     range_batches: int = 1,
     with_offsets: bool = False,
+    detect_lang: bool = False,
     _fail_after_batches: int | None = None,
 ) -> cat.Catalog:
     """``extra_fields``: additional doc columns to index, column → analyzer —
@@ -132,9 +133,9 @@ def build_index(
     extra_fields = extra_fields or {}
     if with_offsets:
         with_positions = True  # Lucene: the offsets option includes positions
-    docs_src = build_docs(pages, project_id=project_id, docid_col=docid_col).withColumn(
-        "dl", F.size(tokens_expr(analyzer)).cast("int")
-    )
+    docs_src = build_docs(
+        pages, project_id=project_id, docid_col=docid_col, detect_lang=detect_lang
+    ).withColumn("dl", F.size(tokens_expr(analyzer)).cast("int"))
     for fld, fld_an in extra_fields.items():
         docs_src = docs_src.withColumn(
             f"dl_{fld}", F.size(tokens_expr(fld_an, text_col=fld)).cast("int")

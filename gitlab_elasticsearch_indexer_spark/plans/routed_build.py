@@ -47,6 +47,7 @@ def build_routed(
     with_positions: bool = False,
     with_offsets: bool = False,
     resume: bool = False,
+    detect_lang: bool = False,
 ) -> RoutedBuildResult:
     if blob_type not in ("blob", "wiki_blob"):
         raise ValueError(f"unknown blob type {blob_type!r}")
@@ -54,7 +55,7 @@ def build_routed(
     catalog = build_index(
         spark, pages, blob_index, analyzer=analyzer, snapshot=snapshot,
         project_id=project_id, with_positions=with_positions,
-        with_offsets=with_offsets, resume=resume,
+        with_offsets=with_offsets, resume=resume, detect_lang=detect_lang,
     )
     commits_table = None
     commit_docs = 0

@@ -48,6 +48,11 @@ def main() -> None:
         "--skip-commits", action="store_true",
         help="with --blob-type: gate off the commits table (main.go --skip-commits)",
     )
+    p.add_argument(
+        "--detect-lang", action="store_true",
+        help="fill null/empty lang from content (trigram langid, enry analog "
+        "indexer/blob.go:116-127); never overrides an upstream lang",
+    )
     args = p.parse_args()
 
     from gitlab_elasticsearch_indexer_spark.plans.build_index import build_index
@@ -80,6 +85,7 @@ def main() -> None:
             with_positions=args.positions,
             with_offsets=args.offsets,
             resume=args.resume,
+            detect_lang=args.detect_lang,
         )
         print(
             f"routed build: {res.blob_type}_index n_docs={res.blob_docs} "
@@ -95,6 +101,7 @@ def main() -> None:
             with_offsets=args.offsets,
             snapshot=args.snapshot,
             resume=args.resume,
+            detect_lang=args.detect_lang,
         )
         print(
             f"built snapshot={catalog.snapshot} n_docs={catalog.n_docs} avgdl={catalog.avgdl:.3f}"

@@ -38,6 +38,59 @@ def test_ivf_full_probe_equals_brute(spark, emb):
     assert full == exact
 
 
+class TestIvfStoredTable:
+    """ivf_write/ivf_search: the cell-partitioned layout must (a) reproduce
+    ivf_topk's results and (b) actually PRUNE — the physical plan's scan
+    carries a PartitionFilters entry on cell, so only n_probe/n_clusters of
+    the stored table is read."""
+
+    @pytest.fixture(scope="class")
+    def ivf_dir(self, spark, tmp_path_factory):
+        from gitlab_elasticsearch_indexer_spark.operators.ann import ivf_write
+
+        emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+        d = str(tmp_path_factory.mktemp("ivf"))
+        ivf_write(emb, d, n_clusters=8)
+        return d
+
+    def test_matches_inline_ivf(self, spark, emb, ivf_dir):
+        from gitlab_elasticsearch_indexer_spark.operators.ann import ivf_search
+
+        qvec = emb.filter("vec_id = 0").head()["embedding"]
+        stored = ivf_search(
+            spark, ivf_dir, list(qvec), 10, n_probe=4, exclude_vec_id=0
+        ).collect()
+        inline = ivf_topk(emb, 0, 10, n_clusters=8, n_probe=4).collect()
+        assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
+
+    def test_full_probe_equals_brute(self, spark, emb, ivf_dir):
+        from gitlab_elasticsearch_indexer_spark.operators.ann import ivf_search
+
+        qvec = emb.filter("vec_id = 7").head()["embedding"]
+        stored = [
+            r["vec_id"]
+            for r in ivf_search(
+                spark, ivf_dir, list(qvec), 10, n_probe=8, exclude_vec_id=7
+            ).collect()
+        ]
+        exact = [r["vec_id"] for r in brute_force_topk(emb, 7, 10).collect()]
+        assert stored == exact
+
+    def test_partition_pruning_in_plan(self, spark, emb, ivf_dir):
+        import os
+        import re
+
+        from gitlab_elasticsearch_indexer_spark.operators.ann import ivf_search
+
+        qvec = emb.filter("vec_id = 0").head()["embedding"]
+        plan = ivf_search(spark, ivf_dir, list(qvec), 10, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cell" in m.group(1), plan
+        # layout check: one directory per cell, vectors nowhere else
+        cells = [p for p in os.listdir(ivf_dir + "/vectors") if p.startswith("cell=")]
+        assert len(cells) == 8
+
+
 def test_lsh_subset_of_corpus(spark, emb):
     hits = lsh_bucket_topk(emb, 0, 5).collect()
     assert len(hits) <= 5

@@ -91,6 +91,62 @@ class TestExtractionParity:
         assert row["id"] == "1_" + hashlib.sha1(row["url"].encode()).hexdigest()
 
 
+class TestLangFallback:
+    """detect_lang=True (enry analog, indexer/blob.go:116-127): null/empty
+    upstream lang is filled from content; present lang is NEVER overridden."""
+
+    def test_fallback_fills_only_missing(self, spark):
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        from gitlab_elasticsearch_indexer_spark.schemas import PAGES
+
+        pdf = pd.DataFrame(
+            {
+                "url": [f"https://example.com/d{i}.txt" for i in range(5)],
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": [
+                    "the quick brown fox jumps over the lazy dog and the people "
+                    "would have been there for the first time in years".encode(),
+                    "これはテストです。マージして下さい。".encode(),
+                    "Это тестовый документ, объедините изменения.".encode(),
+                    b"whatever content",  # upstream lang present -> untouched
+                    b"",                  # missing lang + empty content -> und
+                ],
+                "text": [""] * 5,
+                "lang": [None, "", None, "fr", None],
+                "doc_id": [0, 1, 2, 3, 4],
+            }
+        )
+        schema = T.StructType(list(PAGES.fields) + [T.StructField("doc_id", T.LongType())])
+        pages = spark.createDataFrame(pdf, schema)
+        got = {
+            r["docid"]: r["lang"]
+            for r in build_docs(pages, detect_lang=True).select("docid", "lang").collect()
+        }
+        assert got == {0: "en", 1: "ja", 2: "ru", 3: "fr", 4: "und"}
+
+    def test_default_off_preserves_upstream_nulls(self, spark):
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        from gitlab_elasticsearch_indexer_spark.schemas import PAGES
+
+        pdf = pd.DataFrame(
+            {
+                "url": ["https://example.com/a.txt"],
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": [b"some text"],
+                "text": [""],
+                "lang": [None],
+                "doc_id": [0],
+            }
+        )
+        schema = T.StructType(list(PAGES.fields) + [T.StructField("doc_id", T.LongType())])
+        pages = spark.createDataFrame(pdf, schema)
+        assert build_docs(pages).select("lang").collect()[0]["lang"] is None
+
+
 class TestStorageRoundTrip:
     def test_segments_decode_equals_tokenize(self, spark, index_dir):
         """Decoding every posting block reproduces the exact (term,docid,tf)
