@@ -493,7 +493,741 @@ abusive elusive primitive positive competitive repetitive additive fugitive alte
 cooperative comparative imperative conservative representative initiative
 """
 
-_DICT: set[str] = set(_LEXICON_TEXT.split()) | set(_LEXICON_TEXT_2.split())
+# Round-3 expansion toward Lucene's ~30k KStemData coverage: base-form
+# lemmas only (no plurals, no -ed/-ing inflections except lexicalized
+# dictionary words), grouped by domain.  Surface forms whose conflation is
+# golden-pinned in tests/test_functions.py (activity→active, writer→write,
+# assessment→assess, …) are deliberately ABSENT — presence would block the
+# strip.  Growing this list changes 'default' analyzer output on OOV-no-more
+# words, covered by the ANALYZER_VERSIONS catalog guard.
+_LEXICON_TEXT_3 = """
+abandon abide absorb accelerate accept access acclaim accommodate accompany accomplish
+accumulate accuse ache achieve acknowledge acquire adapt add address adhere
+adjust administer admire admit adopt adore advance advertise advise advocate
+affirm afford aggravate agitate aim alarm alert alienate align allege
+allocate allow allude alter amaze amend amuse analyze anchor anger
+announce annoy anticipate apologize appeal appear applaud apply appoint appraise
+appreciate approach approve argue arise arrange arrest arrive articulate ascend
+aspire assemble assert assess assign assist assume assure astonish attach
+attack attain attempt attend attract attribute audit augment authorize automate
+avert avoid await awake award backfire bake balance ban
+bang banish bargain bark bat bathe batter beam bear beat
+beckon become beg behave behold belong bend benefit bet betray
+bid bind bite blame blast blaze bleed blend bless
+blink block bloom blow blur blush boast boil bolster bomb
+book boost borrow bounce bow brag brake branch brand breathe
+breed brew bribe bridge brighten bring broadcast broaden browse bruise
+brush buckle bud budge bump burn burst bury buy buzz
+calculate calm camp cancel capture care carry carve cast catch
+cater cause cease celebrate certify challenge change chant chase chat
+cheat check cheer chew chill chip choke choose chop cite
+claim clap clarify classify clean clench click climb cling clip
+close clutch coach coincide collaborate collapse collect collide comb combat
+combine come comfort command commence comment commit communicate commute compare
+compel compensate compete compile complain complete comply compose comprehend comprise
+compromise compute conceal concede conceive concentrate concern conclude condemn conduct
+confer confess confide configure confine confirm conflict conform confront confuse
+congratulate connect conquer consent conserve consider consist console consolidate conspire
+constitute constrain construct consult consume contact contain contemplate contend contest
+continue contract contradict contrast contribute convene converge converse convert convey
+convict convince cook cooperate coordinate cope copy correct correlate correspond
+corrupt cough counsel count counter cover crack craft crash crave
+crawl creak criticize cross crouch crush cry cultivate cure
+curl customize cut dampen dance dare dash date dazzle deal
+debate decay deceive decide declare decline decompose decorate decrease dedicate
+deduce deem deepen defeat defend defer define deflect defy degrade
+delay delegate delete deliberate delight deliver demand demolish demonstrate denounce
+deny depart depend depict deplete deploy deposit deprive derive descend
+describe deserve design designate desire despise destroy detach detain detect
+deter deteriorate determine devastate develop deviate devise devote diagnose dictate
+differ differentiate dig digest dilute diminish dine dip direct disagree
+disappear disappoint discard discern discharge disclose discount discourage discover discriminate
+discuss disguise dislike dismiss dispatch dispense disperse displace display dispose
+dispute disregard disrupt dissolve distinguish distort distract distribute disturb dive
+divert divide divulge document dodge dominate donate doubt draft drag
+drain draw dread dream drift drill drink drip drive drop
+drown dry dump duplicate dwell earn ease eat echo edit
+educate elaborate elect elevate eliminate embark embarrass embed embrace emerge
+emphasize employ empower enable enact enclose encounter encourage endanger endorse
+endure enforce engage engineer enhance enjoy enlarge enlighten enlist enrich
+enroll ensure entail enter entertain entice entitle entrust envision equal
+equip erase erect erode erupt escalate escape escort establish esteem
+estimate evacuate evaluate evaporate evoke evolve exaggerate examine exceed excel
+exchange excite exclaim exclude excuse execute exemplify exercise exert exhale
+exhaust exhibit exist expand expect expel experiment expire explain explode
+exploit explore export expose extend extract facilitate fade fail
+fall falter fasten favor fear feature feed feel fetch fight
+figure file fill film filter finalize find fine finish fire
+fit fix flap flash flatten flatter flee fling flip float
+flood flourish flow fluctuate flush fly focus fold follow forbid
+force forecast forge forget forgive form formulate foster found frame
+freeze frighten frown frustrate fulfill function fund furnish gain gather
+gaze generate gesture give glance glare glide glow
+glue gnaw govern grab grade graduate grant grasp greet grieve
+grin grind grip groan grow growl guarantee guard guess guide
+gulp gush halt hand handle hang happen harm harvest hatch
+hate haul heal heap hear heat heighten help hesitate hide
+highlight hinder hint hire hit hold honor hop hope host
+hover howl hug hum hunt hurl hurry hurt identify ignite
+ignore illuminate illustrate imagine imitate immerse impair implement implicate imply
+import impose improve improvise include incorporate increase incur indicate induce
+indulge infer inflate inflict influence inform inhabit inhale inherit inhibit
+initiate inject injure innovate inquire insert insist inspect inspire install
+instruct insulate insult integrate intend intensify interact intercept interfere interpret
+interrupt intervene interview intimidate intrigue introduce invade invent invest investigate
+invite invoke involve irritate isolate issue jam jog join joke
+judge jump justify keep kick kidnap kill kiss kneel knit
+knock knot know label lack land last laugh launch lay
+lead leak lean leap learn leave lecture lend let liberate
+lick lift light lighten like limit linger link list listen
+live load loan locate lock long loom loosen lose love
+lower lurk maintain manage mandate manipulate manufacture march mark market
+marry match mature maximize mean measure mediate meet melt memorize
+mention merge mess migrate mimic mind minimize miss mistake misunderstand
+mix moan mobilize mock moderate modify monitor motivate mount mourn
+move mow multiply mumble murder murmur mutter name narrate navigate
+need neglect negotiate nod nominate note notice notify nourish nudge
+nurture obey object oblige obscure observe obsess obstruct obtain occupy
+occur offend offer officiate offset omit open operate oppose opt
+optimize orbit orchestrate order organize orient originate outline outperform outrage
+outweigh overcome overhaul overlap overlook override oversee overturn overwhelm owe
+own pack paint pan panic parse participate pass pat
+patrol pause pay peck peek peel peer penetrate perceive perfect
+perform permit persist personalize persuade pertain pinch pile
+pin pinpoint pitch pity place plan plant play plead please
+pledge plot plug plunge point poke polish ponder pop pose
+possess post postpone pour practice praise pray preach precede predict
+prefer prepare prescribe present preserve preside press presume pretend prevail
+prevent print prioritize proceed process proclaim produce profit progress prohibit
+project promise promote prompt pronounce propose prosecute prosper protect protest
+prove provide provoke publish pull pump punch punish purchase pursue
+push qualify quantify quarrel question quit quote race raise
+rally range rank rate reach react read realize reap rear
+reassure rebel rebuild recall receive recite reckon recognize recommend reconcile
+reconsider reconstruct record recover recruit recycle redeem reduce refer refine
+reflect reform refrain refresh refuse refute regain regard register regret
+regulate rehearse reign reinforce reiterate reject rejoice relate relax release
+relieve rely remain remark remedy remember remind remove renew renovate
+rent repair repeat repel replace replicate reply report represent repress
+reproduce request require rescue resemble resent reserve reside resign resist
+resolve resonate respect respond restore restrain restrict resume retain retaliate
+retire retreat retrieve return reveal reverse review revise revive revoke
+revolve reward rid ride ring rinse rip rise risk roam
+roar roast rob rock roll rotate rub ruin rule run
+rush sacrifice sail salute sample sanction satisfy save say scan
+scare scatter schedule scold scoop score scratch scream screen
+scrub seal search seat secure seduce see seek seem seize
+select sell send sense separate serve settle sew shake shape
+share sharpen shatter shave shed shift shine ship shiver shock
+shoot shop shout shove show shrink shrug shut shuffle sigh
+sign signal signify simplify simulate sing sink sip sit situate
+skip slam slap sleep slice slide slip slow smash smell
+smile smooth snap snatch sneak sniff soak soar sob socialize
+soften solve soothe sort sound sow spare spark speak
+specialize specify speculate speed spell spend spill spin split sponsor
+spot spray spread spring sprinkle squeeze stab stabilize stack stand
+stare start starve state stay steal steer stem step stick
+stimulate stir stitch stop store strain stray streamline strengthen stress
+stretch stride strike strive stroke stroll structure struggle study stumble
+subject submit subscribe subside substitute succeed suck sue suffer suggest
+suit summon supervise supply support suppose surge surpass surrender surround
+survey survive suspect suspend sustain swallow swap sway swear sweep
+swell swim swing switch symbolize sympathize synthesize tackle take talk
+tap target taste teach tear tease tell tempt tend terminate
+terrify test testify thank think thrive throw thrust tick tighten
+tilt tip tolerate toss touch tour tow trace track trade
+trail train transcend transfer translate transmit transport trap travel
+tread treat tremble trick trigger trim trip triumph trust try
+tuck tug tumble turn tutor tweak twist undergo undermine understand
+undertake unfold unify unite unleash unlock unveil update upgrade uphold
+upset urge use utilize utter validate value vanish vary venture
+verify veto view violate visit visualize voice vote vow wade
+wait wake walk wander want warn wash waste watch wave
+weaken wear weave weigh welcome whip whisper widen win wind
+wipe wish withdraw withhold withstand witness wonder work worry worship
+wrap wreck wrestle write yawn yearn yell yield zoom
+abbey abdomen accent accident accordion accountant acid acorn acre acrobat
+adjective admiral adobe adolescent adult adverb adversary advert aerial aftermath
+afternoon agenda agent alarm album alcohol alcove ale algebra alley
+alligator alloy almond alphabet altar altitude aluminum amateur ambassador amber
+ambulance amethyst ammunition amount amphibian anatomy ancestor anchor anecdote angel
+angle animal ankle annex antelope antenna anthem antibiotic antique anvil
+apartment ape apex apology apostrophe apparatus apparel appendix appetite applause
+apple appliance apprentice apricot apron aquarium arc arcade arch archer
+architect archive arena argument arithmetic ark arm armchair armor army
+aroma arrow arsenal artery artifact artisan ash aspect asphalt aspirin
+assassin asset asteroid asthma asylum athlete atlas atmosphere atom atrium
+attic attorney auction audience auditorium aunt aura author autumn avalanche
+avenue average aviation avocado axis axle bacon badge badger
+bag bait balcony ball ballad ballet balloon ballot bamboo banana
+band bandage banjo bank banner banquet bar barbecue barber bargain
+barge bark barley barn barometer barracks barrel barrier basalt base
+basement basin basket bass bat batch bath bathroom baton battery
+battle bay bazaar beach bead beak beam bean beard beast
+bed bedroom bee beef beer beet beetle bell belly belt
+bench berry bicycle bill bin biography birch bird birthday biscuit
+bishop bison bit blade blanket blaze blazer blister blizzard bloom
+blossom blouse blueprint board boat bog bolt bone bonfire
+bonnet bonus booklet boot booth border bottle bottom boulder boulevard
+boundary bouquet bow bowl bracelet bracket brain brake bran
+brass bread breakfast breast breath breeze brick bride bridge
+briefcase brigade brim brink bronze brook broom broth brother
+brow bubble bucket bud buffalo buffet bug bulb bull bullet
+bundle bunk burden bureau burrow bus bush butler butter butterfly
+button cab cabbage cabin cabinet cable cactus cafe cafeteria cage
+cake calendar camel camera camp campaign campus canal canary candle
+candy cane cannon canoe canopy canvas canyon cap cape capital
+capsule captain caravan carbon cardboard cardigan cargo carnival carpenter carpet
+carriage carrot cart cartoon cartridge cascade castle cat catalog
+caterpillar cathedral cattle cauldron cave cedar ceiling cell cellar cement
+cemetery century ceramic ceremony chain chair chalk chamber champagne champion
+chandelier channel chapel chapter charcoal chariot charm chart charter chassis
+chauffeur cheek cheese chef chemical chess chest chestnut chicken chief
+chimney chin chocolate choir chord chorus chrome chunk cider
+cigar cinema cinnamon circle circuit circus citadel citizen citrus clam
+clan clasp clause claw clay clearing cleat clerk cliff climate
+clinic cloak clock closet cloth cloud clover clown club clue
+cluster coach coal coast coat cobalt cobweb cockpit cocoa coconut
+cocoon cod code coffee coffin coil coin collar colleague college
+colonel colony column comb comedy comet commander commerce committee commodity
+compass compound concert concrete cone conference congress conscience constable consulate
+continent contour convent convoy copper copse coral cord corps
+corridor cosmos costume cottage cotton couch council county couple coupon
+courage course court courtyard cousin cove cowboy crab cradle
+crane crate crater crayon cream creature creek crescent crest crew
+crib cricket crime crimson crisis critic crocodile crop crossroad crow
+crowd crown crumb crust crutch crystal cube cucumber cuff cuisine
+cup cupboard curb curfew current curriculum curtain curve cushion custard
+custody custom cyclone cylinder cypress dagger dairy dam damage dame
+dandelion dawn deacon debris debut decade deck decree deer
+delta demon den denim dentist depot deputy desert desk dessert
+destiny device devil dew diagram dial dialect dialogue diameter diamond
+diary dice diesel diet dilemma dime dinner dinosaur diploma disaster
+disc disciple discipline discourse disease dish disk district ditch dock
+doctrine dogma doll dolphin dome domino donkey donor doorway
+dormitory dose dough dove dozen dragon drama drawer
+drawing dress drizzle drone drought drug drum duchess duck duct
+duel duet duke dune dungeon dusk dust duty dwarf dye
+dynasty eagle ear earl earthquake easel eclipse ecstasy eel
+effigy egg elbow elder elm eloquence embassy ember emblem embryo
+emerald emperor empire enamel enclave encore encyclopedia enemy engine enigma
+ensemble enterprise entrance envelope envy epic episode epoch equator equinox
+era errand escort essay essence estate estuary ether eve
+evening exam example excerpt excursion exhaust exile exit expanse expedition
+expense expert extent extract eyebrow fabric facade fairy
+faith falcon fame famine fang fare farm fate
+fatigue faucet fault fauna fawn feast feather fee fellow felt
+fence fender fern ferry festival fever fiber fiddle fig
+filament fin finance finger fir fire fireplace firm fish fist
+flag flake flame flank flannel flare flask fleece fleet flesh
+flint flock flora flour flute foam fog foil
+folder folk folklore fondness font forehead forest forge fork fort
+fortnight fortune forum fossil fountain fowl fox fraction fracture fragment
+fragrance freckle freight fringe frog frontier frost fruit fuel
+fume funnel fur furnace furniture fury fuse gadget galaxy gale
+gallery gallon gallop gamble gang garage garbage garden garlic garment
+gate gauge gazette gear gem gene general generation genre gentleman
+geography geology geometry germ ghost giant gift gig ginger giraffe
+glacier gland glass glaze glimpse globe gloom glory glove
+goal goat goblet goblin gold golf gondola gong goose gorge
+gorilla gospel gossip gourd gown grace grain gram grammar granite
+grape graph grass gratitude grave gravel gravy grease greenhouse grenade
+grid grief grill grin grocer groove grove guardian guest
+guild guilt guitar gulf gull gum gut gutter gym habit
+habitat hail hall hallway halo ham hamlet hammer hammock hamper
+handbook handkerchief handle harbor hardship hare harmony harp harpoon hat
+hatch hatchet haven hawk hay hazard haze hazel headline headquarters
+heap heart hearth heather heaven hedge heel heir helicopter helmet
+hemisphere hen herb herd heritage hermit hero heron hill
+hinge hip hippopotamus hive hobby hog hole holiday hollow
+honey honeymoon hood hoof hook horizon horn hornet horror horse
+hose hospital hostage hotel hound household hub hue hull
+humor hunger hut hybrid hydrogen hymn iceberg icicle icon
+idiom idol igloo illusion image imagination inch incense incident income
+index industry infant inferno ingot ingredient ink inlet inn insect
+insignia instance instant instinct instrument intellect intersection interval intestine inventory
+iris iron irony island isle isotope item ivory ivy jacket
+jade jaguar jail jar jaw jazz jeep jelly jest jet
+jewel jigsaw joint journal journey jug juice jungle junior junk
+jury justice kangaroo keel keg kennel kernel kettle key keyboard
+kidney kilogram kilometer kin kingdom kiosk kit kitchen kite kitten
+knee knife knight knob knot knuckle koala lab ladder
+lagoon lair lake lamb lamp lance landlord landmark landscape lane
+language lantern lap lapel larva laser latch lattice laundry lava
+lavender lawn lawsuit lawyer layer lead leaf league leather ledge
+leek legacy legend legion lemon lemonade length lens leopard lesson
+lettuce level lever liberty library license lid lieutenant ligament
+lily limb lime limestone limousine linen liner lion lip
+liquid liter literature litter liver lizard llama lobby lobster locomotive
+lodge loft log logic loop lord lounge luggage lumber
+lump lung luxury lyric machine mackerel magazine magnet magnitude
+mahogany maid mail mainland maize malice mall mammal manner manor
+mansion mantle manual manuscript map maple marathon marble mare margin
+marina mariner marrow marsh mask mason mass mast mat
+mate material mathematics matter mattress maze meadow meal meat
+medal media medicine medium melody melon memoir memory menu merchant
+mercury mercy mermaid mesh metal metaphor meteor meter method metro
+microphone midnight mile militia milk mill millennium million mineral miniature
+mink mint miracle mirror mischief missile mission mist mitten moat
+mob mode model mole molecule monarch monastery monk monkey
+monsoon monster monument mood moon moor moose morale
+mosaic mosque mosquito moss motel moth motion motor motto mound
+mountain mouth mud muffin mug mule muscle museum mushroom
+musket mustache mustard myriad mystery myth nail napkin nation
+nature navy nectar needle neighbor neighborhood nephew nerve nest net
+network news niche nickel nickname niece noble nonsense
+noodle noon nook noose nose nostril notebook notion novel nozzle
+nucleus nugget nuisance nun nurse nut nylon oak oar oasis
+oat oath oatmeal obelisk oboe occasion ocean octopus odor offense
+office officer oil ointment olive omelet onion onset opera
+opinion opponent oracle orange orchard orchestra ore organ origin ornament
+orphan ostrich otter ounce outbreak outcome outfit outlet outpost outskirts
+oven owl owner oxide oxygen oyster ozone pace packet pact
+paddle paddock pagoda pail palace palette palm pamphlet panel
+panther pants papaya paper parachute parade paradise paragraph parcel parchment
+parish park parliament parlor parrot parsley particle partner party
+passage passenger passport pasta paste pastry pasture patch path patience
+patio patriot patron pattern pavement pavilion paw pea peace peach
+peacock peak peanut pear pearl peasant pebble pedal pedestal pelican
+pen pencil pendant pendulum penguin peninsula penny pension pepper perfume
+peril perimeter period permit person petal petition petroleum pew
+pharmacy phase pheasant phenomenon phrase piano pickle picnic
+picture pie pier pig pigeon pigment pike pile pill pillar
+pillow pilot pine pineapple pint pioneer pipe pipeline pirate pistol
+piston pit pitch pity pivot pixel plague plain plan
+plank planet plank plasma plaster plastic plate plateau platform platinum platoon
+plaza plight plot plow plum plumber plume plywood pocket pod
+poem poet poetry poison pole police pollen pond pony pool
+porch pore pork porridge port portal porter portfolio portion portrait
+post postcard poster pot potato pottery pouch poultry pound
+powder prairie prayer premise present press prey price pride priest
+prince princess principle prison privilege prize problem produce profile
+prong proof property prophet prose protein proverb province
+prowess proxy prune pub puddle pulse puma pump pumpkin punch
+pupil puppet puppy purpose purse pyramid python quail quarry quart
+quarter quartz queen quest queue quill quilt quart quota rabbit
+raccoon rack radar radio radish raffle raft rag rail railroad
+rain rainbow raincoat rake ram ramp ranch rank
+rash raspberry rat ratio ration raven ravine ray razor realm
+rebate rebel recipe recess record reed reef reel referee
+refuge regime regiment region rein relic remainder remark remnant
+remorse rendezvous rent reptile republic reputation resin resort resource rest
+restaurant retail revenue rhubarb rhyme rhythm rib ribbon rice riddle
+ridge rifle rift rim riot ripple rite ritual rival river
+road robe robin robot rock rocket rod rogue role
+roof rook room rooster root rope rose rosemary roster rostrum
+rotor route routine row rubble ruby rudder rug rum
+rumor rust rye sack saddle safari saga sage sail
+sailor saint salad salary salmon salon saloon salt salute sample
+sanctuary sand sandal sandwich sap sapphire satchel satellite satin sauce
+saucer sausage savage saw scaffold scale scalp scar scarf
+scene scent scepter scheme scholar school schooner science scissors scoop
+scope score scorn scorpion scrap screw script scroll sculpture
+scythe sea seal seam season seat seaweed second secret sector
+sediment seed seminar senate senator sentence sentinel sequel sequence serenade
+sergeant sermon serpent serum servant session shack shade shadow shaft
+shale shallows shame shampoo shark shawl shear sheep sheet
+shelf shell shelter shepherd sheriff shield shin shingle shirt
+shoal shoe shore shoulder shovel shrine shrub shutter siege
+sign silk sill silo silver siren sister skeleton sketch
+ski skill skin skirt skull sky slab slate sled sleeve
+slice slope slot smoke snack snail snake
+soap soccer society sock sofa soil soldier sole
+solo sonata sonnet soul soup source spade spaghetti span spark
+sparrow spasm spatula spear specimen spectacle spectrum speech sphere spice
+spider spike spinach spine spiral spirit spite spleen splinter spoke
+sponge spool spoon spore sport spouse spout spruce spur squad
+squadron square squash squirrel stable stadium staff stage stair stake
+stall stallion stamp stanza staple star starch statue stature
+statute steak steam steed steel stereo stern stew steward
+stick stint stock stocking stomach stone stool storm story
+stove strand stranger strap straw strawberry stream street stride strife
+string stripe stroke stronghold stub studio stuff stump style
+suburb subway sugar suit suite sulfur summit sun supper
+surf surface surgeon surplus suspect swamp swan sweat sweater sword
+syllable symbol symphony symptom syndrome syrup tab table tablet
+tack tact tactic tail tailor tale talent tank tanker
+tap tape tapestry tar tariff tart task tassel tavern tax
+taxi tea teak teal team teapot tear technique teen telegraph
+telephone telescope temper temperature tempest temple tempo tenant tennis tenor
+tent term terrace terrain territory terror text textile texture
+theater theme theory thicket thigh thimble thorn thread threshold thrill
+throat throne thumb thunder ticket tide tiger tile timber
+tin tissue title toad toast tobacco toe toll
+tomato tomb ton tone tongue tool tooth topaz topic torch
+tornado torrent tortoise total tourist tournament towel tower town
+toy tractor tradition tragedy trail trait traitor tram trance
+transit trap tray treason treasure treaty tree trek trench trend
+tress tribe tribunal tribute trio trolley troop trophy trout
+truce truck trumpet trunk tub tuba tube tulip tumor
+tuna tundra tunic tunnel turbine turf turkey turnip turret turtle
+tusk tutor tuxedo tweed twig twilight twin type typhoon
+udder umbrella umpire uncle uniform universe uproar urn usher utensil
+vaccine vacuum vale valley valve van vane vanilla vapor
+varnish vase vault veal vegetable vehicle veil vein velvet vendor
+veneer venom vent verb verdict verse vessel vest veteran
+viaduct vial vice victim victory video villa village villain vine
+vinegar vineyard viola violet violin viper virtue visa vision
+vista vitamin vocabulary vodka vogue voice volcano volume voyage vulture
+wafer wagon waist wallet walnut walrus waltz wand ward
+wardrobe warehouse warrant warrior wart wasp watch waterfall watermelon wax
+wealth weapon weasel weather web wedge weed week weekend
+well whale wharf wheat wheel whim whisk whistle wick
+widow width wig willow wind windmill window wine wing winter
+wire wisdom wit witch wizard wolf wood wool
+workshop worm wound wreath wren wrench wrist yacht yard
+yarn yeast yoke yolk youth zeal zebra zenith zinc zone
+abrupt absent absolute abstract absurd abundant academic acceptable accurate acute
+adamant adept adequate adjacent adverse affluent afraid aggressive agile alert
+alien alike alive alternate amber ambiguous ambitious ample ancient angry
+anonymous anxious apparent appropriate apt arbitrary arid arrogant artificial ashamed
+asleep astute attractive audible austere authentic automatic awake aware awful
+awkward bald bare barren basic beautiful benign bitter bizarre bland
+blank bleak blind blond blue blunt bold brave brief bright
+brilliant brisk brittle broad brown brutal busy calm candid capable
+careful careless casual cautious certain cheap cheerful chief chilly chronic
+circular civic civil classic clean clear clever cloudy clumsy coarse
+cognitive coherent cold colonial colorful comic common compact complex comprehensive
+compulsory concise concrete confident conscious considerable consistent constant contemporary content
+continuous convenient cool cordial correct corrupt costly courageous cozy crafty
+crazy credible crisp critical crucial crude cruel cryptic cunning curious
+curly current cute cynical daily damp dark deadly deaf dear
+decent decisive deep defiant deficient definite deliberate delicate delicious delightful
+dense dependent desperate destructive detailed devout diagonal different difficult diligent
+dim diplomatic dire direct dirty discreet dismal distant distinct diverse
+divine dizzy docile domestic dominant dormant double drab dramatic drastic
+dreadful dry dual dubious dull dumb durable dynamic eager early
+earnest easy eccentric economic edible eerie effective efficient elaborate elastic
+elder elderly electric elegant elementary eligible eloquent elusive eminent emotional
+empty endless enormous entire epic equal equivalent erratic essential eternal
+ethical ethnic even evident evil exact excellent exceptional excess exotic
+explicit expressive exquisite external extinct extra extraordinary extravagant extreme fabulous
+faint fair faithful false familiar famous fancy fast fatal federal
+feeble fellow female fertile fervent fickle fierce final fine
+firm fiscal fit flat flawless flexible fluent fluffy fluid fond
+foolish foreign formal former fortunate foul fragile frail frank frantic
+free frequent fresh friendly frigid front frugal full fun fundamental
+funny furious future fuzzy gallant generic generous genetic gentle genuine
+giddy gigantic glad global glorious gloomy golden good gorgeous graceful
+gradual grand graphic grateful grave gray great greedy green grim
+gross grumpy guilty handsome handy happy hard harsh hasty healthy
+heavy hectic hefty hidden high hilarious historic hoarse hollow holy
+honest horizontal hostile hot huge humble humid hungry icy ideal
+idle idyllic ill illegal immediate immense imminent immune implicit important impulsive
+inevitable infamous informal inherent initial inner innocent intact integral intense
+interior internal intimate intricate intrinsic invisible inward irate ironic jealous
+joint jolly jovial joyful juicy junior just keen key kind
+lame large late latent lateral lavish lax lazy lean left
+legal legitimate lenient lethal liable liberal light likely limp linear
+literal little lively local lofty logical lone lonely long loose
+loud low loyal lucid lucky lukewarm lush luminous mad magnetic
+main major male malicious mandatory manifest manual marine mature meager
+mean meek mellow mental mere merry messy mid mild military
+minor minute miserable mobile moderate modern modest moist molten moral
+morbid mortal multiple mundane municipal mutual mute mysterious naive naked
+narrow nasty national native natural naughty near neat necessary negative
+nervous neutral new nice nimble noble nocturnal normal notable notorious
+novel numb numerous obedient obese oblique oblivious obscure obsolete obstinate
+obvious odd official old open optimal optimistic oral ordinary organic
+ornate orthodox outdoor outer oval overall overt painful pale paramount
+parallel partial particular passionate passive past patient peculiar pending perfect
+perilous perpetual persistent personal pertinent petty physical pink pivotal plain
+plausible pleasant plump polar polite poor popular portable possible potent
+potential powerful practical precious precise pregnant premature premium presidential pretty
+previous primary prime principal prior pristine private probable profound prominent
+prone proper proud prudent public punctual pure purple quaint qualitative
+quantitative quick quiet radiant radical rainy rampant rapid rare rational
+raw ready real rear recent reckless red redundant regal regional
+regular relevant reliable reluctant remote renowned resilient respective rich
+right rigid rigorous ripe robust rosy rotten rough round routine
+royal rural rustic ruthless sacred sad safe salient same sane
+scarce scenic secondary secret secular secure senior sensible serene serious
+several severe shabby shallow sharp sheer short shrewd shy sick
+silent silly similar simple sincere single singular sinister skeptical slender
+slick slight slim slow small smart smug sober social
+soft solar sole solemn solid somber sore sorry sour spacious
+spare sparse special specific spicy splendid spontaneous sporadic stale stark
+stationary steady steep sterile stern sticky stiff still stout straight
+strange strategic strict strong stubborn sturdy subsequent subtle successful such
+sudden sufficient suitable sullen sunny superb superficial superior supreme sure
+susceptible sweet swift tall tame tangible tart technical tedious temporary
+tender tense tentative tepid terrible tidy tight timid tiny tired
+top torrid tough toxic tragic tranquil transparent tremendous tricky trivial
+true turbulent typical ugly ultimate unanimous uneasy unique universal unusual
+upper upright urban urgent useful usual utter vacant vague vain
+valiant valid vast verbal versatile vertical viable vibrant vicious vigilant
+vigorous vile violent virtual visible vital vivid vocal void volatile
+voluntary vulnerable warm wary weak weary weird wet white whole
+wholesome wicked wide wild willing wise witty wooden worthy wrong
+yellow young zealous
+abdication aberration abolition abrasion abscess absorption abstraction acceleration acceptance accessory
+accreditation accusation acquisition activation adaptation addiction adhesive adjustment admiration admission
+adoption adoration advancement adventure adversity aeronautics affection affiliation affirmation affliction
+aggression agility agriculture ailment alignment allegiance allergy alliance allocation allotment
+allusion alteration altercation amendment amnesty amusement analogy anarchy anesthesia animation
+annotation announcement annoyance anomaly anthropology anticipation anxiety apparition appointment appreciation
+apprehension approval approximation aptitude arbitration archaeology archery architecture ardor argumentation
+aristocracy armament arrangement arrogance articulation aspiration assembly assertion assignment assimilation
+assistance association assumption assurance astronomy atrocity attachment attainment attendance attention
+attraction auditory authenticity autobiography automation autonomy aversion aviation awareness
+bacteria baggage bankruptcy baptism barricade behavior benediction benevolence betrayal beverage
+bibliography bigotry biology biopsy blasphemy blockade bombardment bondage botany boycott
+bravery brevity brutality bureaucracy burial calamity calculation calibration calligraphy candor
+capitalism captivity carburetor cardiology cartography catastrophe causation celebration celebrity
+censorship centrifuge certainty certificate certification cessation chancellor chaos chemistry
+chivalry circulation circumference circumstance citation civilization classification clearance
+clemency clergy climax closure coalition coexistence cognition collaboration collision
+colonization combustion commandment commemoration commencement commentary commission commitment commotion
+comparison compassion compatibility compensation competence complaint complexion complexity compliance complication
+composure concentration conception concession condensation condition condolence conductor confederation
+confession confidence configuration confinement confirmation confiscation conflict confrontation confusion congestion
+conjecture conjunction conquest conscience consciousness consecration consensus consequence conservation
+consideration consignment consistency consolation consolidation conspiracy constellation consternation constitution constraint
+consultation consumption contamination contemplation contention contentment context continuation
+contraction contradiction contraption contribution convention convergence conversation conversion conviction
+conviviality coordination coronation corporation correction correlation correspondence corrosion corruption
+counselor countdown courtesy covenant coverage creation credential credibility cremation
+criterion criticism crusade cryptography culmination cultivation culture curvature customs
+damnation database debris decadence deceit deception declaration
+decoration dedication deduction defamation default defiance deficiency deficit deflation deformation
+degradation dehydration deity dejection delegation deletion deliberation delicacy delinquency
+deliverance delusion demeanor democracy demolition demonstration denial denomination density
+denunciation departure dependence depiction depletion deployment deportation deposition depreciation depression
+deprivation deregulation derivation descent desecration designation desolation despair desperation
+destination destitution destruction detachment detention deterioration determination devaluation
+devastation deviation devotion devolution diagnosis dictation dictatorship diction dictionary differentiation
+diffusion digestion digression dilation diligence dimension diplomacy disagreement
+disappearance disappointment disapproval disbelief discernment discharge disclosure discomfort discontent discord
+discovery discrepancy discretion discrimination discussion disgrace disgust dishonor disillusion disintegration
+dismay dismissal disobedience disorder disparity dispersion displacement disposal disposition disruption
+dissatisfaction dissent dissertation dissolution distillation distinction distortion distraction distribution disturbance
+divergence diversion diversity dividend divinity division divorce doctorate documentation domination
+dominion donation dosage drudgery duplication duration dwelling dynamics
+ecology economics ecosystem edification edition editorial eduction efficiency
+effusion elasticity election electricity electrolysis elegance elevation eligibility elimination eloquence
+emancipation embargo embarkation embezzlement emancipation emergence emigration eminence emission
+emotion emphasis employment emporium empowerment emulation enactment enchantment encouragement endeavor
+endowment endurance enforcement engagement engraving enjoyment enlargement enlightenment enrollment
+enthusiasm entirety entitlement entrepreneur enumeration environment epidemic epilogue epiphany equation
+equilibrium equity eruption escalation espionage establishment esteem estimation eternity
+evacuation evaluation evaporation eviction evolution exaggeration examination excavation
+exception excitement exclamation exclusion excursion execution exemption exhalation exhaustion exhibition
+existence exodus expansion expectation expenditure experience expertise expiration exploration
+explosion exposition exposure expulsion extension extermination extinction extortion
+extraction extremity fabrication fascination fatality fatigue feasibility federation
+fermentation ferocity fertility fidelity filtration flattery flotation fluctuation
+forgery forgiveness formality formula foundation fragmentation framework fraternity
+frequency friction friendship frivolity frustration fulfillment fumigation fusion futility
+galvanization garrison gathering genealogy generality germination
+glossary government graduation grandeur gratification gravitation gravity grievance
+guidance gymnasium gymnastics habitation hallucination harassment hardware harmonization hesitation
+hibernation hierarchy histology homage horticulture hospitality hostility humanism humiliation
+humility hurricane hydraulics hygiene hypnosis hypothesis identity ideology idiom
+illumination illustration imagination imitation immersion immigration immortality immunization impatience imperfection
+implication importation imposition impression imprisonment improvement improvisation impulse impunity inaction
+inauguration incarnation incentive inception inclination inclusion incompetence inconvenience incorporation indemnity
+independence indication indifference indigestion indignation induction indulgence inertia infancy infatuation
+infection inference inflammation inflation infliction influence influenza information infrastructure infusion
+ingenuity inhalation inheritance inhibition injection injustice innovation inoculation inquiry inquisition
+inscription insertion insolence insomnia inspection inspiration installation installment instigation institution
+instruction insulation insurance insurgency insurrection integration integrity intellect intelligence intention
+interaction interception interference interior interjection intermission interpretation interrogation interruption intersection
+intervention intimacy intimidation intoxication intrusion intuition inundation invasion invention
+investigation investment invitation invocation irrigation irritation isolation jubilation judgment junction
+jurisdiction justification juvenile kinetics kinship laboratory laceration lamentation lamination
+laughter laxity learning lecture legislation legislature legitimacy leisure leniency liability
+liberation ligament likeness limitation lineage linguistics liquidation literacy litigation
+locality location locomotion longevity lubrication luminosity machinery magistrate magnetism
+magnification maintenance majesty malfunction malnutrition mandate manifestation manipulation mannerism
+marketplace martyrdom masterpiece mechanism mediation meditation melancholy membership
+mentality merriment metabolism metamorphosis methodology migration mineralogy
+misconception misconduct misery misfortune moderation modesty modification
+momentum monopoly monotony morality mortality motivation multitude mutation
+mythology narration navigation necessity negligence negotiation neutrality nobility
+nomination normality nostalgia notation notification notion nourishment novelty
+nutrition obedience objection obligation obliteration observation obsession obstruction
+occupation occurrence offering omission operation opposition oppression optimism
+ordination orientation ornamentation oscillation ostentation ovation overture oxidation
+pacification pagination parameter paralysis participation partition partnership passion pastime
+paternity pathology patronage peculiarity pedestrian penetration perception
+perfection performance perfusion permission perseverance persistence perspiration persuasion
+perturbation pessimism pesticide petition philanthropy philosophy phonetics
+physiology physique pigmentation pilgrimage plantation pluralism poise
+polarity popularity population possession posterity postulate
+precaution precision predicament prediction preference prehistory premonition preoccupation preparation
+preposition prescription presentation preservation pressure prestige presumption prevention
+probability probation procedure procession proclamation procrastination procurement production profession
+proficiency progression prohibition projection proliferation prolongation promotion pronunciation propaganda
+propagation proportion proposal proposition proprietor propulsion prosecution prosperity protection
+provision provocation proximity psychiatry psychology puberty
+punctuation purification pursuit qualification quarantine quotation radiation
+ratification reaction realization rebellion recapitulation reception recession recitation
+reclamation recollection recommendation reconciliation reconstruction recreation recruitment rectitude recuperation redemption
+reduction redundancy refinement reflection reformation refraction refrigeration refusal refutation regeneration
+regression regulation rehabilitation reimbursement reinforcement rejection relation relaxation relegation reliability
+reliance religion relocation reluctance remembrance remuneration renaissance rendition renovation renunciation
+reparation repentance repetition replacement replication repression reproduction repulsion requirement
+requisition reservation reservoir residence residue resignation resistance respiration
+restitution restoration restraint restriction resurgence resurrection retaliation retention retraction retribution
+retrieval revelation reverence reversal revision revival revocation revolution
+rotation saturation scarcity scrutiny seclusion secrecy secretion
+sedation segregation selection sensation sentiment separation serenity servitude
+significance simulation sincerity skepticism sobriety solidarity solitude
+solution sophistication sovereignty specification spectator speculation splendor
+spontaneity starvation statistics sterilization stimulation stipulation strangulation
+subjugation submission subscription subsidy substance substitution subtlety
+suffocation summary superstition supervision supplement supposition suppression supremacy
+suspension suspicion syndicate synopsis synthesis taxation technology
+temptation tenacity tendency termination terminology testimony
+tolerance topography torment toxicity tradition trajectory
+transaction transcription transfusion transgression transition translation transmission transplantation treatment
+trepidation tuition turbulence tyranny unification
+vaccination validation variation vegetation velocity veneration ventilation verification
+vibration vindication violation visitation vocation
+abacus algorithm alkali alloy alternator ammeter ampere amplifier amplitude anatomy
+android anode antibody antigen antimony aorta aperture apogee arsenic artery
+asteroid astronaut atom avionics axiom bandwidth barometer battery
+benzene binary biochemistry biosphere bismuth bit blockchain bluetooth boson browser
+buffer byte cache calcium calculus capacitor carbohydrate carbon cardiovascular cartilage
+cathode cellulose centimeter chloride chlorine chromium chromosome circuitry
+cobalt codec cortex cosine cursor cybernetics data debugger decibel
+decimal dendrite detector diode dioxide diskette domain dopamine download
+dropdown electrode electromagnet electron element ellipse embolism emulator
+encryption entropy enzyme epidermis equation ester ethanol ethernet
+exponent femur fiberglass firewall firmware fluoride formaldehyde fractal frequency
+fulcrum fuselage galaxy gamma gastric gearbox generator genome gigabyte
+glucose gluten graphite gravity gyroscope hardware helium hemoglobin hertz hexagon
+hormone hydrate hydraulic hydroxide hypotenuse inductor insulin interface internet
+ion iridium isotope kelvin kernel keyword kilobyte kinase laptop
+larynx latency lithium logarithm magnesium magnum malware manganese matrix megabyte
+membrane mercury metadata methane microbe microchip microprocessor microscope
+microwave modem modulus molecule momentum monoxide morphine
+nanometer nebula neon nephron neuron neutrino neutron niacin nicotine nitrate
+nitrogen node nucleotide ohm optics orbit oscillator osmosis
+parabola parser particle pathogen pendulum pentagon peptide perigee peroxide
+pharmaceutical phosphate photon physics pixel placenta plasma platelet plutonium pointer
+polygon polymer polynomial positron potassium processor programmer propane
+protocol proton prototype pulley quantum quark quartz qubit radium radius
+reactor receptor rectangle register relay resistor resistance retina rhombus
+robotics router salinity sapphire scalar schema sediment semiconductor sensor serotonin
+server silicon sine sinus socket sodium software solvent sonar spacecraft
+spectrometer spreadsheet stamina steroid stratosphere sulfate surgery syntax
+tangent telemetry template tendon terabyte testosterone tetanus theorem thermometer thermostat
+thorax thyroid titanium toolbar torque toxin trachea transformer transistor trapezoid
+trigonometry tungsten turbojet ultrasound upload uranium urethane username vaccine
+vector vertex vertigo viscosity voltage volt watt wavelength webcam website
+wifi workflow zirconium
+accountant activist actor actress adjudicator administrator adviser advisor aide ambassador
+analyst anthropologist apprentice arbiter archaeologist archbishop archivist artist assassin assessor
+astronomer athlete attendant auditor babysitter baker ballerina banker
+barrister bartender biologist blacksmith bodyguard botanist broker builder butcher
+cameraman candidate captain cardiologist caretaker cartographer cartoonist cashier chairman
+chancellor chaplain chemist choreographer cleric clown coach collector columnist comedian
+commentator commissioner composer comptroller concierge conductor consul consultant contractor cook
+coroner correspondent councilman counselor courier craftsman critic curator custodian dancer
+dean dentist dermatologist designer detective dictator diplomat director dispatcher diver
+doctor doorman dramatist drummer economist editor electrician engineer entertainer
+entrepreneur envoy ergonomist examiner executioner executor explorer exporter
+farmer financier firefighter fisherman florist forester founder freelancer gardener
+geologist goalkeeper goldsmith governess governor guard guitarist gunner gynecologist hairdresser
+handyman headmaster historian horticulturist hygienist illustrator importer inspector
+instructor intern interpreter inventor investigator investor janitor jester jeweler journalist
+judge juggler jurist laborer landscaper librarian lifeguard linguist
+lobbyist locksmith lyricist magician magistrate manager manicurist masseur mathematician
+mayor mechanic mediator medic mentor merchant messenger meteorologist midwife
+milkman miner minister missionary moderator motorist musician narrator naturalist navigator
+negotiator neurologist notary novelist nutritionist oculist oncologist operator
+ophthalmologist optician optometrist organist ornithologist orthodontist paleontologist paralegal paramedic
+pathologist patrolman pediatrician pharmacist philosopher photographer physician physicist
+physiotherapist pianist plumber poet policeman politician pollster postman preacher
+principal producer professor prosecutor psychiatrist psychologist publicist publisher
+radiologist ranger realtor receptionist rector referee registrar regulator reporter researcher
+sailor salesman scholar scientist scout sculptor secretary senator sheriff
+singer sociologist solicitor soloist specialist spokesman sponsor statesman
+stenographer stockbroker stonemason strategist stylist superintendent supervisor surveyor
+technician tenor therapist trader translator treasurer trustee
+typist umpire undertaker urologist valet veterinarian violinist vocalist waiter waitress
+warden watchman welder zoologist
+accounting advertising banking beginning bearing bedding blessing boxing briefing
+building casing clothing computing coating crossing dwelling dressing engineering ending
+evening farming feeling fencing finding fishing fitting footing gathering
+handwriting hearing heading housing hunting landing learning lightning lining listing
+lodging longing marketing meaning meeting mining morning offering opening outing
+padding painting paving planning plumbing printing publishing racing ranching
+reasoning recording roofing sailing saying schooling scouting seasoning seating
+serving setting shipping shooting siding sighting spelling standing suffering
+surfing sightseeing timing trading training undertaking understanding upbringing warning
+wedding welding wellbeing whaling winning wiring wording
+accustomed advanced aged alleged armed ashamed assorted beloved bowed
+celebrated civilized complicated concerned concerted crooked crowded cultured curved detailed
+devoted distinguished dotted educated established esteemed excited experienced fabled fatigued
+gifted heated hooked hunched jagged learned marked motivated noted
+pointed polished renowned reserved retired rugged sacred seasoned skilled sophisticated
+spirited spotted striped talented tangled tinted twisted unexpected varied wicked
+african american arabic asian australian austrian belgian brazilian british bulgarian
+canadian caribbean chilean chinese colombian croatian cuban czech danish dutch
+egyptian english estonian ethiopian european filipino finnish french german greek
+hungarian icelandic indian indonesian iranian iraqi irish israeli italian jamaican
+japanese jewish kenyan korean latin lebanese lithuanian malaysian mexican moroccan
+nigerian norwegian pakistani persian peruvian polish portuguese romanian russian
+scandinavian scottish serbian singaporean slavic somali spanish swedish swiss syrian
+thai tibetan turkish ukrainian venezuelan vietnamese welsh
+january february march april may june july august september october
+november december monday tuesday wednesday thursday friday saturday sunday
+almanac anniversary calendar decade era fortnight midday midweek semester
+trimester weekday yesterday today tomorrow tonight
+appetizer bagel basil batter biscuit brisket broccoli brownie burger burrito
+cashew casserole caviar celery cereal cheddar cherry chili chowder chutney
+cilantro clove cobbler cookie coriander cracker crepe croissant crouton cupcake
+curry custard dough doughnut dumpling eggplant enchilada fajita falafel
+fillet flapjack fondue frosting fudge garnish gelatin gherkin gingerbread gnocchi
+granola gravy gruel guacamole gumbo hamburger hazelnut hummus icing jerky
+kebab ketchup lasagna lentil licorice lollipop macaroni mango marinade marmalade
+marshmallow mayonnaise meatball meringue milkshake muffin noodle nougat nutmeg omelette
+oregano pancake paprika parfait parmesan pastrami pate pepperoni pesto pickle
+pilaf pita pizza popcorn pretzel pudding quiche ravioli relish risotto
+salsa sashimi scone shortbread smoothie sorbet souffle soy spatula
+sprout steak stew strudel sushi taco tamale tangerine tapioca
+teriyaki toffee tofu tortilla truffle turmeric vanilla waffle wasabi yogurt
+zucchini
+archery badminton baseball basketball billiards bobsled bowling boxing canoeing cricket
+curling cycling darts decathlon diving dodgeball fencing football
+golf gymnastics handball hockey hurdle javelin jogging judo karate kayak
+lacrosse marathon netball parkour pentathlon polo regatta rowing rugby
+skating skiing snooker snowboard softball sprinting squash surfing
+tennis triathlon volleyball weightlifting wrestling yoga
+anthem aria ballad banjo baritone bass cello chorale clarinet concerto
+conga cymbal drumming ensemble falsetto fanfare flamenco fugue harmonica
+lullaby mandolin melody metronome opera operetta oratorio orchestra percussion piccolo
+polka quartet quintet refrain reggae rhapsody saxophone serenade sonata soprano
+symphony tambourine tango tempo timpani trombone tuba ukulele viola
+waltz xylophone
+agenda arrears audit ballot barter bid bond boycott branding
+brochure budget bulletin bureau cartel clientele collateral commerce
+conglomerate consortium contraband copyright coupon creditor currency deed
+deficit dividend dossier embargo entrepreneurship equity escrow expenditure franchise fraud
+freight goodwill grant invoice layoff leasing ledger levy
+liaison logo lease margin memo memorandum merger monopoly mortgage
+outsourcing overhead patent payroll pension perk portfolio premium procurement profit
+quota rebate receipt recession refund remittance retailer revenue royalty
+salary stipend subsidy surcharge tariff trademark turnover
+venture voucher wage warranty wholesale
+acquittal affidavit alibi alimony amnesty annulment appellate arraignment arson bail
+bailiff bylaw clemency codicil custody decree defendant deposition
+embezzlement extradition felony forfeiture indictment injunction
+larceny libel litigant manslaughter misdemeanor notary parole perjury plaintiff
+plea precedent probate repeal statute subpoena summons testimony tort
+verdict warrant
+avatar blog chatroom cyberspace download email emoji hashtag homepage hyperlink
+inbox login logout multimedia newsletter offline online password podcast
+profile screenshot smartphone spam streaming tablet upload weblog wiki
+"""
+
+_DICT: set[str] = (
+    set(_LEXICON_TEXT.split())
+    | set(_LEXICON_TEXT_2.split())
+    | set(_LEXICON_TEXT_3.split())
+)
 
 
 def load_lexicon(words) -> None:
