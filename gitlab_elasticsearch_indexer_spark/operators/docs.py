@@ -34,6 +34,7 @@ def build_docs(
     repository_access_level: int = 0,
     docid_col: str = "doc_id",
     detect_lang: bool = False,
+    with_prog_lang: bool = False,
 ) -> DataFrame:
     """pages (+ deterministic ``doc_id``) → DOCS (without ``dl``, which is
     joined in after tokenization).
@@ -46,6 +47,10 @@ def build_docs(
     (enry analog, blob.go:116-127) — fallback only, never overrides upstream
     truth; the detector input is null-gated JVM-side so rows with a ``lang``
     ship nothing extra across Arrow.
+
+    ``with_prog_lang=True`` adds the reference blob's ``Language`` field —
+    enry filename/extension detection (blob.go:116-127, default "Text") as
+    one pure-JVM CASE expression over ``file_name`` (functions/proglang.py).
     """
     pid = F.lit(project_id).cast("long")
     too_large = (F.octet_length(F.col("html")) > F.lit(limit_file_size)).alias(
@@ -79,6 +84,10 @@ def build_docs(
             F.lit(repository_access_level).cast("int").alias("repository_access_level"),
         )
     )
+    if with_prog_lang:
+        from ..functions.proglang import prog_language_col
+
+        out = out.withColumn("prog_language", prog_language_col(F.col("file_name")))
     if detect_lang:
         missing = F.col("lang").isNull() | (F.col("lang") == "")
         out = out.withColumn(

@@ -517,6 +517,56 @@ class TestEncodingCandidateOrdering:
         assert list(out) == ["plain ascii", jp, "ünïcode"]
 
 
+class TestProgLanguage:
+    """enry-analog programming-language detection (reference
+    indexer/blob.go:116-127; goldens blob_test.go:71-84)."""
+
+    @pytest.mark.parametrize(
+        "fname,want",
+        [
+            ("Makefile.am", "Makefile"),     # blob_test.go:71-77 golden
+            ("foo.rb", "Ruby"),              # blob_test.go:79-84 golden
+            ("main.go", "Go"),
+            ("app.PY", "Python"),            # case-insensitive
+            ("index.html", "HTML"),
+            ("Dockerfile", "Dockerfile"),
+            ("Dockerfile.prod", "Dockerfile"),
+            ("Gemfile", "Ruby"),
+            ("CMakeLists.txt", "CMake"),
+            ("query.sql", "SQL"),
+            ("notes", "Text"),               # no extension -> defaultLanguage
+            ("archive.xyz9", "Text"),        # unknown extension -> Text
+            ("README.md", "Markdown"),
+        ],
+    )
+    def test_goldens(self, spark, fname, want):
+        from pyspark.sql.functions import col
+
+        from gitlab_elasticsearch_indexer_spark.functions.proglang import (
+            prog_language_col,
+        )
+
+        row = (
+            spark.createDataFrame([(fname,)], "file_name string")
+            .select(prog_language_col(col("file_name")).alias("lang"))
+            .head()
+        )
+        assert row["lang"] == want
+
+    def test_pure_jvm_no_python_eval(self, spark):
+        from pyspark.sql.functions import col
+
+        from gitlab_elasticsearch_indexer_spark.functions.proglang import (
+            prog_language_col,
+        )
+
+        df = spark.createDataFrame([("a.py",)], "file_name string").select(
+            prog_language_col(col("file_name")).alias("lang")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 class TestXxhash64Parity:
     """Pure-Python XXH64 must equal Spark's xxhash64 (seed 42) — golden
     values captured from Spark 4.1.2; bucket routing depends on it."""

@@ -126,6 +126,37 @@ class TestLangFallback:
         }
         assert got == {0: "en", 1: "ja", 2: "ru", 3: "fr", 4: "und"}
 
+    def test_prog_lang_column(self, spark):
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        from gitlab_elasticsearch_indexer_spark.schemas import PAGES
+
+        pdf = pd.DataFrame(
+            {
+                "url": [
+                    "https://example.com/src/Makefile.am",
+                    "https://example.com/src/foo.rb",
+                    "https://example.com/page",
+                ],
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": [b"x", b"y", b"z"],
+                "text": [""] * 3,
+                "lang": "en",
+                "doc_id": [0, 1, 2],
+            }
+        )
+        schema = T.StructType(list(PAGES.fields) + [T.StructField("doc_id", T.LongType())])
+        pages = spark.createDataFrame(pdf, schema)
+        got = {
+            r["docid"]: r["prog_language"]
+            for r in build_docs(pages, with_prog_lang=True)
+            .select("docid", "prog_language")
+            .collect()
+        }
+        # blob_test.go:71-84 goldens + defaultLanguage fallback
+        assert got == {0: "Makefile", 1: "Ruby", 2: "Text"}
+
     def test_default_off_preserves_upstream_nulls(self, spark):
         import pandas as pd
         import pyspark.sql.types as T
