@@ -122,6 +122,7 @@ def build_index(
     range_batches: int = 1,
     with_offsets: bool = False,
     detect_lang: bool = False,
+    with_prog_lang: bool = False,
     _fail_after_batches: int | None = None,
 ) -> cat.Catalog:
     """``extra_fields``: additional doc columns to index, column → analyzer —
@@ -134,7 +135,11 @@ def build_index(
     if with_offsets:
         with_positions = True  # Lucene: the offsets option includes positions
     docs_src = build_docs(
-        pages, project_id=project_id, docid_col=docid_col, detect_lang=detect_lang
+        pages,
+        project_id=project_id,
+        docid_col=docid_col,
+        detect_lang=detect_lang,
+        with_prog_lang=with_prog_lang,
     ).withColumn("dl", F.size(tokens_expr(analyzer)).cast("int"))
     for fld, fld_an in extra_fields.items():
         docs_src = docs_src.withColumn(

@@ -48,6 +48,7 @@ def build_routed(
     with_offsets: bool = False,
     resume: bool = False,
     detect_lang: bool = False,
+    with_prog_lang: bool = False,
 ) -> RoutedBuildResult:
     if blob_type not in ("blob", "wiki_blob"):
         raise ValueError(f"unknown blob type {blob_type!r}")
@@ -56,6 +57,7 @@ def build_routed(
         spark, pages, blob_index, analyzer=analyzer, snapshot=snapshot,
         project_id=project_id, with_positions=with_positions,
         with_offsets=with_offsets, resume=resume, detect_lang=detect_lang,
+        with_prog_lang=with_prog_lang,
     )
     commits_table = None
     commit_docs = 0

@@ -53,6 +53,11 @@ def main() -> None:
         help="fill null/empty lang from content (trigram langid, enry analog "
         "indexer/blob.go:116-127); never overrides an upstream lang",
     )
+    p.add_argument(
+        "--prog-lang", action="store_true",
+        help="add the reference blob's Language field (enry filename/"
+        "extension detection, default 'Text') as a prog_language doc column",
+    )
     args = p.parse_args()
 
     from gitlab_elasticsearch_indexer_spark.plans.build_index import build_index
@@ -86,6 +91,7 @@ def main() -> None:
             with_offsets=args.offsets,
             resume=args.resume,
             detect_lang=args.detect_lang,
+            with_prog_lang=args.prog_lang,
         )
         print(
             f"routed build: {res.blob_type}_index n_docs={res.blob_docs} "
@@ -102,6 +108,7 @@ def main() -> None:
             snapshot=args.snapshot,
             resume=args.resume,
             detect_lang=args.detect_lang,
+            with_prog_lang=args.prog_lang,
         )
         print(
             f"built snapshot={catalog.snapshot} n_docs={catalog.n_docs} avgdl={catalog.avgdl:.3f}"
