@@ -178,6 +178,158 @@ class TestLangFallback:
         assert build_docs(pages).select("lang").collect()[0]["lang"] is None
 
 
+class TestCorpusPrep:
+    """plans/corpus_prep: the composed LLM-training-data pipeline (quality
+    gate → langid gate → exact dedup → LSH near-dup dedup → token budget)
+    must match a full DuckDB replay row-for-row, and its summary must add
+    up."""
+
+    PREP_SQL = """
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         round(0.5 * alpha_ratio + 0.5 * (1.0 -
+           CASE WHEN len(ts) > 0 THEN
+             CAST(len(list_filter(ts, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(ts)
+           ELSE 0.0 END), 4) AS quality
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+    FROM documents
+  )
+),
+langs AS (
+  SELECT doc_id,
+         CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+              WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+  FROM (
+    SELECT doc_id,
+           len(list_filter(ts, x -> x IN ('the','a','is','and','value'))) AS s_en,
+           len(list_filter(ts, x -> x IN ('el','la','es','de','value'))) AS s_es,
+           len(list_filter(ts, x -> x IN ('der','die','das','und','wert'))) AS s_de
+    FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts FROM documents)
+  )
+),
+gated AS (
+  SELECT d.doc_id, d.text, s.n_tokens, s.quality, l.pred_lang, md5(d.text) AS text_md5
+  FROM documents d JOIN stats s ON d.doc_id = s.doc_id JOIN langs l ON d.doc_id = l.doc_id
+  WHERE s.n_tokens >= 10 AND s.quality >= 0.5
+),
+exact AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY text_md5) AS min_docid FROM gated
+  ) WHERE doc_id = min_docid
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         ELSE [] END AS shingles
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM exact)
+),
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(shingles, x -> md5('0|' || x))) AS mh0,
+         list_min(list_transform(shingles, x -> md5('1|' || x))) AS mh1,
+         list_min(list_transform(shingles, x -> md5('2|' || x))) AS mh2,
+         list_min(list_transform(shingles, x -> md5('3|' || x))) AS mh3
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || '_' || mh1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(mh2 || '_' || mh3) FROM sig
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, band_id, band_key,
+           count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+    FROM bands
+  ) WHERE bsz <= 64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+tsets AS (
+  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS ts
+  FROM exact
+),
+verified AS (
+  SELECT a_id, b_id
+  FROM cand JOIN tsets ta ON cand.a_id = ta.doc_id
+            JOIN tsets tb ON cand.b_id = tb.doc_id
+  WHERE round(CAST(len(list_filter(ta.ts, x -> list_contains(tb.ts, x))) AS DOUBLE)
+        / (len(ta.ts) + len(tb.ts) - len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))), 4) >= {minj}
+),
+dropped AS (SELECT DISTINCT greatest(a_id, b_id) AS doc_id FROM verified),
+survivors AS (
+  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+bpe AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+'
+         )) AS BIGINT) AS bpe_tokens
+  FROM survivors
+)
+SELECT CAST(s.doc_id AS BIGINT) AS docid, s.pred_lang, s.n_tokens, s.quality,
+       s.text_md5, b.bpe_tokens
+FROM survivors s JOIN bpe b ON s.doc_id = b.doc_id
+ORDER BY docid
+"""
+
+    @pytest.fixture(scope="class")
+    def prepared(self, spark):
+        from gitlab_elasticsearch_indexer_spark.plans.corpus_prep import corpus_prep
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        return corpus_prep(
+            docs,
+            min_tokens=10,
+            min_quality=0.5,
+            n_bands=2,
+            rows_per_band=2,
+            max_bucket=64,
+            min_jaccard=0.5,
+        ).cache()
+
+    def test_matches_duckdb_replay(self, spark, prepared):
+        import duckdb
+
+        got = (
+            prepared.toPandas()
+            .sort_values("docid")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+        )
+        want = con.sql(self.PREP_SQL.format(minj=0.5)).df()
+        assert len(got) == len(want) > 0
+        for c in ("docid", "pred_lang", "n_tokens", "text_md5", "bpe_tokens"):
+            assert got[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+        assert (got["quality"] - want["quality"]).abs().max() < 1e-9
+
+    def test_pipeline_actually_drops(self, spark, prepared):
+        n_in = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+        n_out = prepared.count()
+        assert 0 < n_out < n_in  # gates + dedup must remove something
+
+    def test_summary_adds_up(self, spark, prepared):
+        from gitlab_elasticsearch_indexer_spark.plans.corpus_prep import (
+            corpus_prep_summary,
+        )
+
+        summ = corpus_prep_summary(prepared).toPandas()
+        assert summ["n_docs"].sum() == prepared.count()
+        total = prepared.agg(F.sum("bpe_tokens")).collect()[0][0]
+        assert summ["total_bpe_tokens"].sum() == total
+
+
 class TestStorageRoundTrip:
     def test_segments_decode_equals_tokenize(self, spark, index_dir):
         """Decoding every posting block reproduces the exact (term,docid,tf)
