@@ -7,9 +7,9 @@ Shape of the build (ONE wide shuffle, all-numeric, partition-kernel encoding):
       ├─ term dictionary: distinct(term) → (term, tid=xxhash64, bucket)
       │    [map-side dedup makes this shuffle vocabulary-sized, not
       │     corpus-sized; collision-checked]
-      └─ numeric stream (docid, dl, tid [, pos])
+      └─ numeric stream (pd = docid<<20|dl, tid [, pos])
            └─ repartition(tid, docid_range)        [the only big exchange —
-           └─ sortWithinPartitions(tid, docid)      pure int64 columns]
+           └─ sortWithinPartitions(tid, pd)         two int64 columns/row]
            └─ mapInPandas(partition kernel):
                 run-length (tid, docid) → tf       [replaces a groupBy shuffle]
                 slice groups → ≤128-posting blocks [numpy end to end]
@@ -60,6 +60,24 @@ from pyspark.sql import functions as F
 from ..config import BLOCK_SIZE, BM25_B, BM25_K1, DOCS_PER_RANGE, N_TERM_BUCKETS
 from ..functions import codec
 from ..schemas import SEGMENTS
+
+# (docid, dl) pack for the big exchange: the corpus-wide shuffle row narrows
+# from (docid, dl, tid) to (pd, tid) — 1/3 fewer 8-byte slots through
+# serialize+compress+network+deserialize on the only corpus-sized exchange.
+# 20 bits hold dl exactly: content is capped at 1 MiB (F2), so the simple
+# analyzer yields ≤ 524 288 tokens (every token needs ≥1 char + separator);
+# least() saturates defensively anyway.  docid keeps 43 bits (10^12-doc
+# north-rule scale needs 40).  Sorting by pd == sorting by (docid, dl) and
+# dl is constant per docid, so kernel group detection is unchanged.
+DL_BITS = 20
+_DL_MASK = (1 << DL_BITS) - 1
+
+
+def pack_docid_dl(docid, dl):
+    return F.shiftleft(docid.cast("long"), DL_BITS) + F.least(
+        dl.cast("long"), F.lit(_DL_MASK)
+    )
+
 
 def bucket_col(term_col):
     """Hash-bucket routing for terms — identical expression at build and
@@ -136,8 +154,9 @@ def make_partition_kernel(
         if len(pdf) == 0:
             return
         tids = pdf["tid"].to_numpy(dtype=np.int64)
-        docids = pdf["docid"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        packed = pdf["pd"].to_numpy(dtype=np.int64)
+        docids = packed >> DL_BITS
+        dls = packed & _DL_MASK
         ranges = docids // DOCS_PER_RANGE
         poss = pdf["pos"].to_numpy(dtype=np.int64) if with_positions else None
         starts_arr = pdf["start"].to_numpy(dtype=np.int64) if with_offsets else None
@@ -228,15 +247,21 @@ def build_segments(
             "rebuild with a secondary hash"
         )
 
-    cols = ["docid", "dl", F.xxhash64("term").alias("tid")] + (
-        ["pos"] if with_positions else []
-    ) + (["start", "end"] if with_offsets else [])
+    cols = [
+        pack_docid_dl(F.col("docid"), F.col("dl")).alias("pd"),
+        F.xxhash64("term").alias("tid"),
+    ] + (["pos"] if with_positions else []) + (
+        ["start", "end"] if with_offsets else []
+    )
     num = occurrences.select(*cols)
     # partition key (tid, docid>>13) passed as an expression — docid_range is
-    # derivable, so materializing it would add 8 bytes/row of shuffle volume
-    # for nothing (the kernel recomputes it from docid in one numpy op)
-    range_expr = (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
-    sort_cols = ["tid", "docid"] + (["pos"] if with_positions else [])
+    # derivable from the packed column, so materializing it would add 8
+    # bytes/row of shuffle volume for nothing (the kernel recomputes it from
+    # pd in one numpy op)
+    range_expr = (
+        F.shiftright(F.col("pd"), DL_BITS) / F.lit(DOCS_PER_RANGE)
+    ).cast("long")
+    sort_cols = ["tid", "pd"] + (["pos"] if with_positions else [])
     part = num.repartition(F.col("tid"), range_expr).sortWithinPartitions(*sort_cols)
     blocks = part.mapInPandas(
         make_partition_kernel(avgdl, with_positions, with_offsets),

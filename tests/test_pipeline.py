@@ -178,6 +178,34 @@ class TestLangFallback:
         assert build_docs(pages).select("lang").collect()[0]["lang"] is None
 
 
+class TestDocidDlPack:
+    """The shuffle-narrowing (docid, dl) pack must round-trip exactly up to
+    the 10^12-doc north-rule scale and saturate dl at 2^20-1 (content is
+    1 MiB-capped, so real dl never reaches the mask)."""
+
+    def test_roundtrip_and_saturation(self, spark):
+        from gitlab_elasticsearch_indexer_spark.operators.postings import (
+            DL_BITS,
+            _DL_MASK,
+            pack_docid_dl,
+        )
+
+        rows = [
+            (0, 0),
+            (1, 1),
+            (10**12, 524288),          # north-rule docid scale, max real dl
+            ((1 << 43) - 1, _DL_MASK), # pack's documented limits
+            (7, _DL_MASK + 5000),      # dl beyond the mask -> saturates
+        ]
+        df = spark.createDataFrame(rows, "docid long, dl long").select(
+            "docid", "dl", pack_docid_dl(F.col("docid"), F.col("dl")).alias("pd")
+        )
+        for r in df.collect():
+            assert r["pd"] >> DL_BITS == r["docid"]
+            assert r["pd"] & _DL_MASK == min(r["dl"], _DL_MASK)
+            assert r["pd"] > 0 or r["docid"] == 0  # no sign-bit overflow
+
+
 class TestCorpusPrep:
     """plans/corpus_prep: the composed LLM-training-data pipeline (quality
     gate → langid gate → exact dedup → LSH near-dup dedup → token budget)
