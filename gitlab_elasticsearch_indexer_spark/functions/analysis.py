@@ -240,7 +240,7 @@ ANALYZERS: dict[str, Callable[[str], list[str]]] = {
 # query-time analysis (the 'default' chain silently changed stemmers
 # between builds once; a name-only catalog made that undetectable).
 ANALYZER_VERSIONS: dict[str, str] = {
-    "default": "standard-lower-kstem-3",  # v3: ~7.3k-headword lexicon
+    "default": "standard-lower-kstem-4",  # v4: ~8.4k-headword lexicon
     "minimal_english": "standard-lower-minimal-1",
     "simple": "lower-alnum-1",
     "code": "ws-wdg-fold-edge2.40-2",  # v2: Lucene fold table beyond NFKD

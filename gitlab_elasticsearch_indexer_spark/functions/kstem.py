@@ -1221,12 +1221,177 @@ verdict warrant
 avatar blog chatroom cyberspace download email emoji hashtag homepage hyperlink
 inbox login logout multimedia newsletter offline online password podcast
 profile screenshot smartphone spam streaming tablet upload weblog wiki
+abdominal aerobic alkaline amphibious anatomical ancestral angular aquatic arboreal astral
+atmospheric auditory bacterial barometric behavioral biochemical bionic botanical bovine
+cardiac carnivorous celestial cellular cerebral chemical chronological circulatory clinical coastal
+colossal congenital coronary cosmic cranial cutaneous dental dermal dietary digestive
+dorsal ecological electrical electronic embryonic endocrine environmental enzymatic equatorial
+esophageal evolutionary facial fecal femoral fetal floral fluorescent follicular forensic
+fungal gastrointestinal genealogical geographical geological geometric geothermal glacial glandular
+gravitational herbal hereditary hormonal hygienic igneous inorganic intestinal intravenous
+lunar lymphatic magnetic mammalian marine maternal mechanical medical medicinal membranous
+metabolic metallic meteorological microbial mineral molecular muscular nasal nautical
+neural neurological nuclear numerical nutritional oceanic olfactory optical orbital organic
+ornamental orthopedic osseous ovarian oxidative pancreatic parasitic pastoral paternal pediatric
+pelvic perennial peripheral pharmaceutical planetary pneumatic polar postal
+prenatal pulmonary radioactive renal reproductive respiratory retinal rhythmic seismic sensory
+"""  # noqa: E501  (photographic/microscopic deliberately absent — golden-conflated)
+
+_LEXICON_TEXT_3B = """
+sidereal skeletal solar spatial spinal statistical stellar sterile structural subatomic
+subterranean surgical symmetrical synthetic telescopic terrestrial thermal tidal topical
+tropical ultraviolet umbilical uterine vascular vegetal venous ventral vertebral veterinary
+viral visual vocal volcanic zoological
+abalone albatross alpaca anaconda anchovy antelope armadillo baboon badger barnacle
+barracuda beagle beaver bedbug bloodhound boar bobcat buffalo bullfrog bumblebee
+buzzard camel canary caribou cassowary caterpillar catfish centipede chameleon cheetah
+chickadee chimpanzee chinchilla chipmunk cobra cockatoo cockroach condor cougar coyote
+crayfish cricket crocodile crustacean cuckoo dachshund dalmatian dingo dolphin donkey
+dormouse dragonfly duckling eagle earthworm earwig echidna eggplant egret elephant
+elk emu ermine falcon ferret finch firefly flamingo flea flounder
+fowl gazelle gecko gerbil gibbon gnat gnu goldfish gopher gorilla
+grasshopper greyhound grizzly groundhog grouse gudgeon guppy haddock halibut hamster
+hare hedgehog heron herring hippo hornet hound hummingbird hyena ibis
+iguana impala jackal jackrabbit jellyfish kangaroo katydid kingfisher kiwi
+ladybug lamprey lark lemming lemur leopard lioness lizard llama lobster
+locust lynx macaw mackerel magpie mallard mammoth manatee mandrill mantis
+marmoset marmot marsupial mastiff meerkat millipede mink minnow mockingbird mole
+mongoose monkey moose mosquito moth mule mussel newt nightingale ocelot
+octopus opossum orangutan oriole osprey ostrich otter owl ox oyster
+panda panther parakeet parrot partridge peacock pelican penguin perch pheasant
+pigeon piranha platypus plover pony porcupine porpoise possum poultry prawn
+primate puffin puma python quail rabbit raccoon ram rat raven
+reindeer rhinoceros roach robin rodent rooster salamander salmon sardine scorpion
+seagull seahorse shark sheepdog shrimp skunk sloth slug snail snake
+sparrow sphinx spider squid squirrel stallion starfish stingray stork sturgeon
+swallow swan swordfish tadpole tapir tarantula termite terrier toad tortoise
+toucan trout turkey turtle viper vulture wallaby walrus warbler wasp
+weasel whale wildcat wolverine wombat woodchuck woodpecker worm wren yak
+acacia alder alfalfa algae aloe amaryllis anemone aspen aster azalea
+bamboo baobab barley bayberry begonia birch blackberry blossom bluebell bramble
+buttercup cabbage cactus camellia carnation cattail cedar chestnut chrysanthemum clover
+columbine conifer cornflower cowslip crocus cypress daffodil dahlia daisy dandelion
+dogwood ebony edelweiss elm eucalyptus evergreen fern fir flax forsythia
+foxglove fuchsia gardenia geranium ginkgo gladiolus goldenrod gooseberry gorse hawthorn
+hazel heather hemlock hibiscus holly hollyhock honeysuckle hyacinth hydrangea iris
+jasmine juniper kelp kudzu larch larkspur laurel lavender lichen lilac
+lily lotus lupine magnolia mahogany mangrove maple marigold mimosa mistletoe
+moss mulberry mushroom myrtle narcissus nasturtium nettle oak oleander orchid
+pansy papyrus peony periwinkle petunia pine poinsettia poplar poppy primrose
+pumpkin redwood reed rhododendron rhubarb rose rosebud rye saffron sage
+sagebrush sapling seaweed sequoia shamrock shrub snapdragon snowdrop spruce sunflower
+sycamore thistle thorn thyme tulip tumbleweed verbena vine violet walnut
+waterlily wheat willow wisteria yarrow yew zinnia
+archipelago basin bayou bluff butte cairn caldera cape cliff cove
+crag crevasse delta drift dune eddy escarpment fjord floodplain foothill
+geyser glacier glen gorge grotto gulch gully headland highland hillock
+hinterland iceberg inlet isthmus knoll lagoon lowland mesa monsoon moraine
+oasis outcrop peninsula plateau prairie quagmire rapids ravine reef ridge
+riverbank savanna seabed shoal sinkhole steppe strait summit swale tarn
+thicket tributary tundra upland watershed wetland
+blizzard breeze chill cloudburst cyclone downpour drizzle fog frost gale
+gust hail heatwave humidity lightning mist monsoon rainfall sleet slush
+smog snowfall squall tempest thaw thunderstorm tornado whirlwind windchill
+apron armchair ashtray basin bathtub bedspread blanket blender bookcase broom
+bucket bureau candlestick carafe carpet chandelier coaster colander comforter cot
+crib cupboard curtain cushion decanter doormat drape dresser duvet dustpan
+faucet flannel footstool futon grater griddle hamper hassock headboard hearth
+kettle ladle lampshade linen mantel mixer mop nightstand ottoman pantry
+pillowcase pitcher placemat platter quilt recliner rug saucepan scissors shelf
+shutter sideboard sink skillet sofa sponge spout stool strainer tablecloth
+teaspoon thermos tong tray trivet tureen urn vase wardrobe whisk
+anorak beanie beret blazer blouse bodice boot bowtie brogue buckle
+cardigan chinos cloak clog corset cravat cufflink dungarees earmuff espadrille
+fedora fleece galoshes garter gauntlet gown headband hoodie jersey jumpsuit
+kimono legging leotard loafer loincloth mitten moccasin muffler necktie nightgown
+overall overcoat pajama parka petticoat pinafore poncho pullover raincoat robe
+sandal sarong sash scarf shawl slipper sneaker sock stocking suspenders
+sweater sweatshirt trench trouser tunic turban tutu tuxedo undershirt vest
+visor waistcoat wellington windbreaker
+affection agony amazement ambition angst anguish annoyance apathy awe bliss
+boredom candor compassion contempt contentment courage cowardice craving delight despair
+disdain disgust dismay dread ecstasy elation embarrassment empathy enthusiasm envy
+euphoria exasperation excitement fondness frustration fury glee gloom gratitude greed
+grief guilt hatred homesickness hope horror humility hysteria indignation
+infatuation jealousy joy loathing loneliness longing love lust malice melancholy
+misery nostalgia optimism outrage panic paranoia passion pessimism pity pride
+rage regret relief remorse resentment reverence sadness satisfaction scorn serenity
+shame shock sorrow spite sympathy tenderness terror thrill vengeance wonder
+wrath zest
+amble appease argue ascertain backtrack baffle barge bask bawl beckon
+bellow bemoan berate beseech bestow bewilder bicker blabber blurt bluster
+bombard brandish bristle brood browbeat budge bungle burrow cajole capsize
+careen carouse cavort chide chortle chuckle clamber clank clatter coax
+cobble commandeer concoct connive contort convulse cower cringe croak croon
+decry deface defame delve demean denigrate deride despair disdain dismantle
+divulge dote douse dwindle elude embellish embroil emote encircle engrave
+engulf enrage enthrall entangle entreat envelop evade exacerbate exalt exasperate
+exhort expound extol falter fathom feign fester fidget flail flaunt
+flinch flit flounder fluster foist forgo fortify fray frolic fume
+gallivant galvanize gawk gloat gobble goad grapple grovel guzzle hamper
+hanker harangue harass heave heckle hobble hoist hoard hound huddle
+hustle idolize impede incite infuse instill jeer jostle juggle lament
+languish lash latch laud lavish limber loathe loiter lull lumber
+lunge lurch maim malign mangle maul meander meddle mend mingle
+mope muse muster nag nestle nibble ogle ooze oust pamper
+pander parch peruse pester pilfer pine placate plod plummet pounce
+preen prod prowl pry quell quench quiver ramble ransack rant
+ravage rave ravish rebuff rebuke recoil recount redouble relent relish
+renege repent reprimand reproach repudiate revel revere rile rummage rupture
+salvage saunter savor scamper scavenge scoff scour scowl scurry seethe
+sever shun shudder simmer skulk slither smolder smother snarl snub
+squander squirm stagger stammer stifle stoke stow strut stymie subdue
+succumb sulk swagger swerve swindle swoon swoop tarnish taunt thrash
+thwart topple trudge undulate unravel vanquish veer vex wallow wane
+waver wheeze whittle wield wilt wince writhe
+abutment alcove annex archway atrium awning balustrade banister barricade bastion
+battlement belfry buttress casement catacomb cloister colonnade cornice crypt cupola
+dovetail dormer drawbridge eave facade gable gargoyle gazebo girder
+joist keystone lintel mantelpiece mezzanine minaret moat mullion niche parapet
+pediment pergola plinth portcullis portico rafter rampart rotunda scaffold
+spire staircase steeple stucco transom trellis truss turret vestibule
+adhesive alabaster asbestos bitumen brocade burlap cashmere cellophane chintz
+cork corduroy denim enamel felt fiberglass flannel foil gabardine gauze
+gingham granite graphite gravel grout gypsum lacquer laminate latex
+linoleum lint marble mortar muslin obsidian organza parchment pewter plaster
+plexiglass plush polyester porcelain pumice quartzite rattan rayon resin
+sealant shale shellac slag slate solder suede taffeta tarpaulin terracotta
+tinfoil tweed twill veneer vellum vinyl wax wicker
+anvil auger awl bellows blowtorch caliper chisel clamp cleaver crowbar
+drill file forceps gimlet grindstone hacksaw hoe jackhammer jigsaw
+lathe level mallet pickaxe pitchfork plane pliers pulley rasp ratchet
+sander scalpel scythe shears shovel sickle sledgehammer spade spanner
+stapler tongs trowel tweezers vise winch wrench
+acetate acetone ammonia amide barium benzene borax bromine butane cadmium
+calcite carbonate cellulose chlorophyll cholesterol citrate cobalt collagen cortisone cyanide
+dioxide electrolyte emulsion fructose gelatin glycerin iodine keratin
+lactose lanolin lecithin lignite lipid menthol methanol naphtha nitroglycerin
+octane oxide ozone pectin pentane peptide pigment polymer propane quinine
+reagent saccharin silica solute solvent starch sucrose tannin toluene turpentine
+urea vitriol
+aphelion asteroid aurora binary comet constellation corona cosmos eclipse ecliptic
+galaxy meteorite nadir nova observatory parallax parsec perihelion planetarium pulsar
+quasar satellite solstice supernova telescope zodiac
+reappear rearrange reassemble rebuild recapture recharge reclaim reconnect reconsider recreate
+redirect rediscover redo reenter refill refill reheat reinstate reintroduce rejoin
+rekindle reload relocate remarry rename reopen reorganize repaint rephrase replant
+replay reprint reread reroute reschedule reshape restate restructure resupply retell
+rethink retrace retrain retry reunite reuse revisit rewind reword rework
+rewrite unbind unbuckle unbutton unclog uncover undress unearth unfasten unhook
+unload unmask unpack unplug unravel unroll unscrew unseat untangle untie
+unveil unwind unwrap unzip outbid outdo outgrow outlast outlive outnumber
+outpace outperform outrun outsell outshine outsmart overreach overcharge overcook overdo
+overeat overestimate overflow overhear overheat overload overpay overpower overrate overreact
+override overrule overrun oversee overshadow oversleep overspend overstate overtake overthrow
+overturn overuse overwork underachieve undercut underestimate undergo underline undermine underpay
+underperform underrate underscore understate undertake undervalue underwrite
 """
 
 _DICT: set[str] = (
     set(_LEXICON_TEXT.split())
     | set(_LEXICON_TEXT_2.split())
     | set(_LEXICON_TEXT_3.split())
+    | set(_LEXICON_TEXT_3B.split())
 )
 
 
