@@ -212,6 +212,32 @@ def make_partition_kernel(
     return build_blocks
 
 
+def occurrence_stream(
+    occurrences: DataFrame,
+    with_positions: bool = False,
+    with_offsets: bool = False,
+) -> DataFrame:
+    """The pre-kernel numeric stream: the ONE corpus-wide exchange, exactly
+    as the production build runs it (also audited verbatim by
+    tools/explain_audit.py — keep them one code path)."""
+    cols = [
+        pack_docid_dl(F.col("docid"), F.col("dl")).alias("pd"),
+        F.xxhash64("term").alias("tid"),
+    ] + (["pos"] if with_positions else []) + (
+        ["start", "end"] if with_offsets else []
+    )
+    num = occurrences.select(*cols)
+    # partition key (tid, docid>>13) passed as an expression — docid_range is
+    # derivable from the packed column, so materializing it would add 8
+    # bytes/row of shuffle volume for nothing (the kernel recomputes it from
+    # pd in one numpy op)
+    range_expr = (
+        F.shiftright(F.col("pd"), DL_BITS) / F.lit(DOCS_PER_RANGE)
+    ).cast("long")
+    sort_cols = ["tid", "pd"] + (["pos"] if with_positions else [])
+    return num.repartition(F.col("tid"), range_expr).sortWithinPartitions(*sort_cols)
+
+
 def term_dictionary(occurrences: DataFrame) -> DataFrame:
     """(term, tid, bucket) — vocabulary-sized after map-side dedup."""
     return (
@@ -247,22 +273,7 @@ def build_segments(
             "rebuild with a secondary hash"
         )
 
-    cols = [
-        pack_docid_dl(F.col("docid"), F.col("dl")).alias("pd"),
-        F.xxhash64("term").alias("tid"),
-    ] + (["pos"] if with_positions else []) + (
-        ["start", "end"] if with_offsets else []
-    )
-    num = occurrences.select(*cols)
-    # partition key (tid, docid>>13) passed as an expression — docid_range is
-    # derivable from the packed column, so materializing it would add 8
-    # bytes/row of shuffle volume for nothing (the kernel recomputes it from
-    # pd in one numpy op)
-    range_expr = (
-        F.shiftright(F.col("pd"), DL_BITS) / F.lit(DOCS_PER_RANGE)
-    ).cast("long")
-    sort_cols = ["tid", "pd"] + (["pos"] if with_positions else [])
-    part = num.repartition(F.col("tid"), range_expr).sortWithinPartitions(*sort_cols)
+    part = occurrence_stream(occurrences, with_positions, with_offsets)
     blocks = part.mapInPandas(
         make_partition_kernel(avgdl, with_positions, with_offsets),
         schema=_KERNEL_SCHEMA,

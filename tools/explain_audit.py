@@ -67,22 +67,33 @@ def main() -> None:
         )
     )
 
-    occ = (
-        docs_fresh.select("docid", "dl", F.explode(tokens_expr("simple")).alias("term"))
-        .select("docid", "dl", F.xxhash64("term").alias("tid"))
-        .withColumn("docid_range", (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long"))
-        .repartition("tid", "docid_range")
-        .sortWithinPartitions("tid", "docid")
+    from gitlab_elasticsearch_indexer_spark.operators.postings import (
+        occurrence_stream,
+    )
+
+    occ = occurrence_stream(
+        docs_fresh.select(
+            "docid", "dl", F.explode(tokens_expr("simple")).alias("term")
+        )
     )
     sections.append(
         (
             "occurrences → sorted posting stream (the one wide exchange)",
-            "Audit: exactly one Exchange hashpartitioning(tid, docid_range) — "
-            "the explicit head-term salt; Sort is partition-local (no global "
-            "sort); docs scan reads only docid/dl/content (ReadSchema).",
+            "Audit: the PRODUCTION pre-kernel stream (same code path as "
+            "build_segments): exactly one Exchange hashpartitioning(tid, "
+            "shiftright(pd,20)/8192) — the explicit head-term salt over the "
+            "packed (docid<<20|dl) row, two int64s per occurrence; Sort is "
+            "partition-local (no global sort); docs scan reads only "
+            "docid/dl/content (ReadSchema).",
             formatted(occ),
         )
     )
+    occ_plan = formatted(occ)
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", occ_plan))
+    assert n_exchanges == 1, f"posting stream must have ONE exchange, saw {n_exchanges}"
+    assert "shiftright" in occ_plan, "exchange must key on the packed pd column"
 
     seg_scan = filter_segments_for_terms(segments, ["spark", "data"])
     sections.append(
