@@ -239,8 +239,22 @@ ANALYZERS: dict[str, Callable[[str], list[str]]] = {
 # not enough to detect that an index's stored postings no longer match
 # query-time analysis (the 'default' chain silently changed stemmers
 # between builds once; a name-only catalog made that undetectable).
+def _kstem_lexicon_fingerprint() -> str:
+    """Content-derived version suffix: the default chain's output depends on
+    the KStem lexicon, so the version string hashes it — ANY lexicon change
+    (growth, removal, a fixed headword) flips the catalog guard
+    automatically instead of relying on a hand-bumped counter (which
+    silently drifted once within a round)."""
+    import hashlib
+
+    from . import kstem
+
+    digest = hashlib.sha1("\n".join(sorted(kstem._DICT)).encode()).hexdigest()[:8]
+    return f"lex{len(kstem._DICT)}-{digest}"
+
+
 ANALYZER_VERSIONS: dict[str, str] = {
-    "default": "standard-lower-kstem-4",  # v4: ~8.4k-headword lexicon
+    "default": f"standard-lower-kstem-{_kstem_lexicon_fingerprint()}",
     "minimal_english": "standard-lower-minimal-1",
     "simple": "lower-alnum-1",
     "code": "ws-wdg-fold-edge2.40-2",  # v2: Lucene fold table beyond NFKD

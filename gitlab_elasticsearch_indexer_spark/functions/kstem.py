@@ -1385,6 +1385,72 @@ overeat overestimate overflow overhear overheat overload overpay overpower overr
 override overrule overrun oversee overshadow oversleep overspend overstate overtake overthrow
 overturn overuse overwork underachieve undercut underestimate undergo underline undermine underpay
 underperform underrate underscore understate undertake undervalue underwrite
+achievable actionable adaptable adjustable admirable adorable advisable affordable agreeable amenable
+amicable applicable approachable arable attainable avoidable bearable believable biodegradable breakable
+breathable changeable chargeable commendable comparable conceivable configurable considerate culpable curable
+customizable debatable definable dependable deplorable desirable detachable detectable disposable drinkable
+durable editable employable enforceable enjoyable enviable excusable expandable explainable
+favorable fashionable foldable forgivable formidable habitable honorable hospitable imaginable impeccable
+inflatable insufferable laudable manageable measurable memorable navigable negotiable noticeable objectionable
+obtainable palatable payable perishable permissible plausible portable predictable preferable presentable
+printable profitable programmable punishable quantifiable questionable reachable readable rechargeable recognizable
+recyclable redeemable refillable refundable regrettable remarkable removable renewable repairable repeatable
+respectable retractable returnable reusable reversible salvageable scalable searchable serviceable sociable
+sustainable tolerable traceable trainable transferable understandable unmistakable upgradable usable variable
+venerable verifiable viable washable watchable workable
+aimless ageless blameless boundless breathless careless ceaseless childless clueless colorless
+countless dauntless defenseless doubtless effortless endless faceless faithless fearless flawless
+flightless formless friendless fruitless guiltless hapless harmless heartless heedless helpless
+homeless hopeless jobless landless lawless lifeless limitless listless meaningless merciless
+mindless motionless nameless noiseless odorless painless paperless penniless pointless powerless
+priceless reckless regardless relentless restless ruthless seamless seedless selfless senseless
+shameless shapeless sleeveless speechless spineless spotless stainless tactless tasteless thankless
+thoughtless timeless tireless toothless useless weightless wireless witless wordless worthless
+bashful blissful bountiful cheerful colorful deceitful delightful disdainful disgraceful distasteful
+doubtful dreadful dutiful eventful fanciful fateful fearful fitful forceful forgetful
+fretful fruitful graceful grateful harmful hateful healthful helpful hopeful hurtful
+insightful joyful lawful masterful merciful mindful mournful neglectful painful peaceful
+pitiful playful plentiful prideful purposeful regretful remorseful resentful resourceful respectful
+restful rightful scornful shameful sinful skillful sorrowful spiteful successful tactful
+tasteful tearful thankful thoughtful truthful uneventful ungrateful unlawful useful vengeful
+watchful willful wishful wistful wonderful wrathful youthful zestful
+adventurous ambiguous amorous arduous auspicious barbarous blasphemous boisterous bulbous cancerous
+cantankerous capricious cavernous censorious chivalrous conspicuous contagious contemptuous continuous courteous
+covetous credulous dangerous deciduous delirious devious dubious envious fabulous felicitous
+ferocious fibrous fortuitous frivolous furious generous glamorous gracious gratuitous gregarious
+grievous hazardous hideous hilarious humongous humorous igneous industrious infectious ingenious
+iniquitous innocuous insidious instantaneous intravenous jealous joyous laborious lecherous ludicrous
+luminous lustrous luxurious malicious marvelous melodious meticulous miraculous mischievous momentous
+monotonous monstrous mountainous mysterious nebulous nefarious nervous numerous nutritious oblivious
+obnoxious odious ominous onerous outrageous perilous pernicious pious poisonous pompous
+ponderous porous precarious precious precipitous predacious presumptuous pretentious previous prodigious
+prosperous pugnacious querulous rambunctious rapturous raucous ravenous rebellious ridiculous righteous
+rigorous riotous sanctimonious scandalous scrumptious scrupulous sensuous serious simultaneous slanderous
+spacious spontaneous spurious strenuous studious sumptuous superfluous superstitious suspicious synonymous
+tedious tempestuous tenacious tenuous thunderous torturous treacherous treasonous tremendous tumultuous
+ubiquitous unanimous unconscious unscrupulous vainglorious valorous vaporous various venomous vicarious
+victorious vigorous virtuous vivacious voluminous voracious wondrous zealous
+amateurish babyish boorish boyish childish churlish devilish feverish foolish garish
+ghoulish girlish hellish impish lavish loutish mannish mulish outlandish peevish
+prudish sheepish skittish sluggish snobbish squeamish stylish swinish ticklish waspish
+aerodynamics anthropology archaeology astrology astronomy bacteriology biotechnology cardiology cartography climatology
+cosmology criminology cryptology dermatology ecology economics embryology entomology epidemiology ergonomics
+ethnology etymology genealogy genetics geochemistry geophysics gerontology herpetology histology horticulture
+hydrology ichthyology immunology kinesiology lexicography limnology meteorology microbiology mineralogy morphology
+mycology neurology numismatics oceanography oncology ontology ophthalmology ornithology paleontology pathology
+pedagogy petrology pharmacology philology phonology photography phrenology physiology psychiatry psychology
+radiology seismology semantics sociology taxonomy theology toxicology virology volcanology zoology
+acolyte altar angelology apostle baptism blessing cantor catechism chalice cherub
+clergy communion confessional congregation covenant crucifix deacon devotion diocese disciple
+doctrine evangelism exorcism friar gospel hermitage hymnal icon incense liturgy
+martyr miracle monastery mosque novena nunnery pagoda parish penance pilgrim
+prayer prophet psalm pulpit relic reliquary requiem ritual rosary sacrament
+sanctum scripture seminary sermon shrine synagogue tabernacle temple theology vestment
+ambush armada armistice arsenal artillery barrage battalion bayonet blockade bombardment
+brigade camouflage cavalry ceasefire commando conscription convoy detonation flotilla fortification
+garrison grenade infantry insurgent invasion logistics maneuver militia mobilization munitions
+offensive platoon reconnaissance regiment reinforcement salvo siege skirmish squadron stratagem
+trench truce vanguard
 """
 
 _DICT: set[str] = (
