@@ -1451,6 +1451,40 @@ brigade camouflage cavalry ceasefire commando conscription convoy detonation flo
 garrison grenade infantry insurgent invasion logistics maneuver militia mobilization munitions
 offensive platoon reconnaissance regiment reinforcement salvo siege skirmish squadron stratagem
 trench truce vanguard
+airliner airship barge biplane bobsled buggy bulldozer cabriolet camper canoe
+caravan cargo carriage catamaran chariot chopper clipper coach convertible conveyance
+cruiser cutter dinghy dirigible dogsled ferry forklift freighter frigate galleon
+glider gondola hatchback hearse helicopter hovercraft jalopy jetliner kayak ketch
+limousine locomotive minivan monorail moped motorboat motorcycle omnibus paddleboat pedicab
+propeller raft ricksha rickshaw rowboat schooner scooter seaplane sedan skiff
+sled sleigh sloop snowmobile snowplow speedboat stagecoach steamboat steamer streetcar
+submarine subway tanker taxicab toboggan tractor trailer trawler tricycle trolley
+tugboat unicycle wagon wheelbarrow yacht zeppelin
+aeon afternoon autumn century dawn daybreak daytime decade dusk epoch
+eternity evening forenoon fortnight hour instant interim interlude jiffy lifetime
+midnight millennium minute moment month morrow nightfall noon season second
+semester springtime summer sunrise sunset twilight week weekend winter year
+yesteryear
+armful batch bushel centimeter couple dollop dozen fathom fistful fraction
+gallon gram handful heap hectare inch iota jumble kilogram kilometer
+liter majority minority modicum morsel mouthful multitude myriad ounce percentage
+pinch pint plethora portion pound quart quota ream scad smidgen
+spoonful surplus tablespoon teaspoon trifle
+abdomen ankle artery backbone biceps bladder bosom brow cheekbone clavicle
+collarbone cornea cranium diaphragm earlobe elbow eyeball eyelash eyelid femur
+fibula fingernail fingertip forearm forehead gallbladder gullet gum hairline hamstring
+heel hipbone instep jawbone kneecap knuckle larynx ligament lobe lung
+midriff mole mustache nape navel nostril palate pancreas pelvis pore
+rib ribcage scalp shin shinbone sinew skull spleen sternum tailbone
+temple tendon thigh thorax throat thumb tibia toenail tonsil torso
+trachea triceps vein vertebra windpipe wrinkle wrist
+amber aquamarine azure beige burgundy charcoal chartreuse cobalt crimson cyan
+ebony emerald fuchsia indigo ivory khaki lavender lilac magenta maroon
+mauve ochre olive pastel periwinkle russet saffron scarlet sepia sienna
+silver tan taupe teal turquoise ultramarine umber vermilion
+circle cone crescent cube cylinder decagon diamond dodecahedron ellipse heptagon
+hexagon octagon octahedron oval parallelogram pentagon polygon prism pyramid quadrilateral
+rectangle rhombus semicircle sphere spiral square tetrahedron trapezoid triangle wedge
 """
 
 _DICT: set[str] = (
