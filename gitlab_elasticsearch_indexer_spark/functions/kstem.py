@@ -1485,6 +1485,32 @@ silver tan taupe teal turquoise ultramarine umber vermilion
 circle cone crescent cube cylinder decagon diamond dodecahedron ellipse heptagon
 hexagon octagon octahedron oval parallelogram pentagon polygon prism pyramid quadrilateral
 rectangle rhombus semicircle sphere spiral square tetrahedron trapezoid triangle wedge
+baste blanch braise brine caramelize churn cure deglaze devein dice
+drizzle ferment flambe fillet fold garnish glaze grate grill julienne
+knead marinate mash microwave mince parboil pare pickle poach puree
+render roast saute scald scramble sear season shred simmer skewer
+skim steam steep stew tenderize toast whisk zest
+applique batik beadwork bonsai calligraphy crochet decoupage embroidery enamelware filigree
+glassblowing knitting lacework macrame marquetry millinery mosaic needlepoint needlework origami
+patchwork pottery quilting scrimshaw stenciling taxidermy tilework tinsmith topiary weaving
+whittling woodwork
+abstraction actuality ambivalence anomaly antithesis apotheosis archetype axiom banality brevity
+catalyst catharsis causality coherence conjuncture connotation construct continuum conundrum corollary
+counterpart criterion dichotomy duality dynamism enigma entity epitome essence ethos
+exemplar framework genesis gestalt hallmark hierarchy hypothesis impetus inference juxtaposition
+leitmotif lexicon metaphor microcosm milieu modality motif nuance paradigm paradox
+parameter pastiche pathos perspective phenomenon polarity postulate pragmatism precept premise
+presupposition prototype quintessence rationale rubric schema spectrum stereotype substrate syllogism
+synergy synthesis tautology template tenet threshold trope veracity zeitgeist
+amble canter careen cartwheel clamber dart dash flit gallop hike
+hobble jaunt limp lope lurch march mosey pace pedal pirouette
+plod prance promenade ramble sashay scamper scoot scuttle shamble shuffle
+sidle skedaddle skitter somersault sprint stampede stomp stride stroll strut
+swagger tiptoe toddle traipse tramp trek trot trudge vault waddle
+babble banter blab blather chatter chitchat converse declaim drone enunciate
+exclaim gab gush harp intone jabber mumble murmur natter orate
+palaver parley pontificate prattle proclaim pronounce quip recite rhapsodize soliloquize
+spout stammer stutter vocalize whine yammer
 """
 
 _DICT: set[str] = (
