@@ -1511,6 +1511,34 @@ babble banter blab blather chatter chitchat converse declaim drone enunciate
 exclaim gab gush harp intone jabber mumble murmur natter orate
 palaver parley pontificate prattle proclaim pronounce quip recite rhapsodize soliloquize
 spout stammer stutter vocalize whine yammer
+anchorage acreage arbitrage blockage breakage brokerage carnage coinage cribbage
+drainage dotage foliage forage haulage leakage leverage linkage mileage
+mirage montage moorage outage parentage peerage pillage plumage postage
+poundage roughage seepage sewage shrinkage signage slippage spillage spoilage
+stoppage storage suffrage tillage tonnage tutelage umbrage vantage verbiage
+vicarage vintage voltage wastage wattage wreckage yardage
+bakery brewery bribery butchery cannery chicanery confectionery creamery crockery cutlery
+debauchery delivery distillery drapery fakery finery fishery gadgetry gallantry greenery
+grocery hatchery hosiery imagery jewelry joinery lottery mastery midwifery mockery
+nursery perfumery periphery puppetry quackery recovery refinery revelry robbery rookery
+savagery scenery shrubbery slavery snobbery sorcery tannery thievery treachery trickery
+upholstery weaponry winery wizardry
+apricot artichoke asparagus beetroot cantaloupe cauliflower chickpea clementine cranberry cucumber
+currant eggplant elderberry endive fennel gooseberry grapefruit guava honeydew huckleberry
+kale kohlrabi kumquat lychee mulberry nectarine okra parsnip pear persimmon
+plantain pomegranate pomelo quince radicchio rhubarb rutabaga scallion shallot spinach
+tangelo watercress watermelon yam
+farewell goodbye greeting handshake hello howdy hug salutation welcome
+ado agony alias alibi antidote armful avalanche awe ballyhoo bedlam
+blemish blunder bonanza boon brouhaha calamity charade chore commotion conniption
+debacle deluge dirge duress epitaph errand fiasco finesse flair fluke
+folly fracas frenzy gaffe gimmick gist grudge gusto hassle havoc
+heyday hindrance hoax hubbub hunch imbroglio innuendo jamboree jinx karma
+kerfuffle knack lark limbo lull malaise mayhem melee mishap muddle
+nicety omen ordeal panache pandemonium paragon pariah pitfall plight ploy
+predicament prowess quandary quirk respite rigmarole ruckus rumpus ruse savvy
+shindig snafu snag solace spree stint swindle tizzy turmoil tussle
+uproar vendetta verve whim windfall zeal
 """
 
 _DICT: set[str] = (
