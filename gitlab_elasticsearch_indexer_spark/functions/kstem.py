@@ -1539,6 +1539,38 @@ nicety omen ordeal panache pandemonium paragon pariah pitfall plight ploy
 predicament prowess quandary quirk respite rigmarole ruckus rumpus ruse savvy
 shindig snafu snag solace spree stint swindle tizzy turmoil tussle
 uproar vendetta verve whim windfall zeal
+adulthood boyhood brotherhood childhood falsehood fatherhood girlhood knighthood likelihood livelihood
+manhood motherhood nationhood neighborhood parenthood priesthood sainthood sisterhood statehood widowhood
+womanhood
+airmanship apprenticeship authorship censorship chairmanship championship citizenship companionship comradeship courtship
+craftsmanship dealership dictatorship fellowship flagship guardianship hardship horsemanship internship kinship
+ladyship leadership lordship marksmanship membership mentorship ownership partnership penmanship premiership
+professorship readership receivership relationship salesmanship scholarship seamanship showmanship sponsorship sportsmanship
+statesmanship stewardship swordsmanship township trusteeship workmanship worship
+absolutism activism altruism anachronism antagonism asceticism atheism barbarism behaviorism bilingualism
+bolshevism buddhism capitalism catechism catholicism classicism collectivism colloquialism colonialism commercialism
+communism conformism conservatism consumerism cubism cynicism darwinism despotism determinism dualism
+dynamism egotism elitism empiricism environmentalism escapism euphemism exorcism expressionism extremism
+fanaticism fascism fatalism favoritism federalism feminism feudalism formalism fundamentalism futurism
+hedonism heroism hinduism humanism hypnotism idealism imperialism impressionism individualism industrialism
+institutionalism islam journalism judaism legalism liberalism localism magnetism mannerism materialism
+mechanism mercantilism militarism minimalism modernism monotheism mysticism narcissism nationalism naturalism
+nepotism nihilism objectivism opportunism optimism pacifism paganism parallelism parochialism paternalism
+patriotism perfectionism pessimism plagiarism pluralism polytheism populism positivism pragmatism professionalism
+protectionism provincialism puritanism racism radicalism rationalism realism recidivism regionalism relativism
+romanticism secularism separatism skepticism socialism stoicism surrealism syllogism symbolism terrorism
+totalitarianism tourism traditionalism tribalism unionism utilitarianism vandalism vegetarianism ventriloquism vocalism
+volunteerism witticism
+blackboard bookbag chalkboard classroom coursework curriculum detention dormitory flashcard gradebook
+graduation gymnasium homework kindergarten notebook playground preschool principal recess registrar
+report schoolyard semester syllabus textbook truancy tuition valedictorian yearbook
+backgammon billiards bingo charades checkers chess crossword darts dominoes hopscotch
+horseshoes jigsaw lottery mahjong marbles monopoly pinball poker puzzle riddle
+roulette scrabble solitaire sudoku trivia tug
+bookmark boot browse click crash debug decrypt defragment download email
+encrypt format hack initialize install livestream log network patch ping
+pixelate program reboot recompile reconfigure refresh reinstall retweet scroll spellcheck
+sync troubleshoot tweet uninstall unsubscribe
 """
 
 _DICT: set[str] = (
