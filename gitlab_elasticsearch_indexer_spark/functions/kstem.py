@@ -1571,6 +1571,27 @@ bookmark boot browse click crash debug decrypt defragment download email
 encrypt format hack initialize install livestream log network patch ping
 pixelate program reboot recompile reconfigure refresh reinstall retweet scroll spellcheck
 sync troubleshoot tweet uninstall unsubscribe
+airy bony bossy brainy brawny breezy bubbly bulky bumpy burly
+cheeky chewy choppy chubby chunky clammy classy comfy corny crabby
+craggy cranky creaky creamy creepy crispy cuddly dainty dingy dodgy
+dowdy dreamy dressy droopy drowsy dusty earthy edgy feisty filmy
+fishy flabby flaky flashy fleshy flimsy floppy foamy foggy frosty
+frothy fruity funky fussy gaudy gawky glassy glitzy glossy grainy
+greasy grimy gritty groggy grouchy grubby grungy gutsy hairy hardy
+hazy hearty hilly homely husky itchy jaunty jazzy jumpy kooky
+lanky leafy leaky lousy lumpy mangy meaty mighty milky minty
+misty moody mossy mousy muddy muggy murky mushy musty nerdy
+nifty nippy noisy nosy nutty oily paltry pasty peppy perky
+pesky phony pithy plucky portly pricey prickly pudgy puffy pushy
+quirky risky ritzy rocky roomy rowdy runny rusty salty sandy
+sassy saucy scaly scanty scrawny scruffy seedy shaggy shaky shiny
+showy silky sketchy skimpy skinny sleazy sleepy slimy sloppy smoky
+snazzy sneaky snowy soggy soupy speedy spiffy spongy spooky spotty
+springy squishy starchy steamy steely stingy stocky stodgy stormy streaky
+stringy stuffy sugary sulky sultry swanky sweaty tacky tangy tardy
+tasty tawdry testy thorny thrifty tipsy touchy trusty tubby twitchy
+wacky watery weedy wheezy whiny windy wiry wobbly woody woolly
+wordy yummy zany zesty
 """
 
 _DICT: set[str] = (
