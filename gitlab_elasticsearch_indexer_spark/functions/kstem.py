@@ -1592,6 +1592,16 @@ stringy stuffy sugary sulky sultry swanky sweaty tacky tangy tardy
 tasty tawdry testy thorny thrifty tipsy touchy trusty tubby twitchy
 wacky watery weedy wheezy whiny windy wiry wobbly woody woolly
 wordy yummy zany zesty
+blacken broaden cheapen coarsen darken deaden deafen embolden fatten freshen
+gladden harden hasten hearten lengthen lessen liven madden moisten quicken
+quieten redden ripen roughen sadden shorten sicken slacken smarten stiffen
+straighten sweeten toughen whiten worsen
+beep blare boom chime clang crackle din ding fizz gurgle
+hiss jingle knell patter peal plink purr rattle rumble rustle
+screech shriek sizzle splash squeak squeal swish thud thump tinkle
+twang wail warble whir whoosh zing
+amphora beaker canister carton cask casket crucible flagon jerrycan stein
+atoll breaker buoy flotsam jetsam plankton undertow wake
 """
 
 _DICT: set[str] = (
