@@ -4,7 +4,12 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-phase sec...}, "sf": ..., "docs_per_sec": ...}
+   "queries": {...per-phase sec...}, "sf": ..., "docs_per_sec": ...,
+   "docs_per_sec_scaled": ...}
+
+Every timed phase is a median of 3 runs (_median3) and the build is also
+measured on a 20×-replicated corpus (index_build_20x / docs_per_sec_scaled)
+— the number that tracks engine throughput rather than fixed job costs.
 
 ``--scaling`` mode (not used by the driver; used to produce BENCH.md):
 re-runs the build phase in two subprocesses at N and 4N cores on identical
@@ -41,6 +46,20 @@ BENCH_QUERIES = [
     ("bm25_head_term", lambda s: s.search("table", k=100, with_docs=False)),
     ("bm25_multi_rare", lambda s: s.search("customer merge window batch", k=50, with_docs=False)),
 ]
+
+
+def _median3(fn) -> float:
+    """Median of 3 runs of a timed phase.  The host's minute-to-minute
+    variance band is ~3× (BENCH.md §1) and the driver runs bench.py exactly
+    once per round — single-shot timings made BENCH_r03 read as a 1.6×
+    regression on code that hadn't changed.  Sub-second queries cost <1 s
+    of retries each; the build phases are the only multi-second repeats."""
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return round(sorted(ts)[1], 3)
 
 
 def run_once(
@@ -92,22 +111,48 @@ def run_once(
         finally:
             shutil.rmtree(warm_idx, ignore_errors=True)
 
-        t0 = time.time()
-        build_index(spark, pages, index_dir, analyzer="simple", snapshot="s1")
-        timings["index_build"] = round(time.time() - t0, 3)
+        if keep_queries:
+            # driver-facing suite: every phase is a MEDIAN of 3 runs
+            timings["index_build"] = _median3(
+                lambda: build_index(
+                    spark, pages, index_dir, analyzer="simple", snapshot="s1"
+                )
+            )
+            # replicated-corpus leg: at 5 000 docs the build is fixed-cost
+            # dominated (job setup, commit/rename), so round-over-round
+            # docs/sec mostly measured the host's mood.  20× the corpus puts
+            # the bulk of wall time in actual tokenize+shuffle+encode work —
+            # this is the throughput number to compare across rounds.
+            scaled_idx = tempfile.mkdtemp(prefix="ges_bench_idx20_")
+            scaled = pages_scaled(spark, sf_dir, 20)
+            n_scaled = scaled.count()
+            try:
+                timings["index_build_20x"] = _median3(
+                    lambda: build_index(
+                        spark, scaled, scaled_idx, analyzer="simple", snapshot="s1"
+                    )
+                )
+            finally:
+                shutil.rmtree(scaled_idx, ignore_errors=True)
+        else:
+            t0 = time.time()
+            build_index(spark, pages, index_dir, analyzer="simple", snapshot="s1")
+            timings["index_build"] = round(time.time() - t0, 3)
 
         result = {
             "n_docs": n_pages,
             "docs_per_sec": round(n_pages / timings["index_build"], 2),
         }
         if keep_queries:
+            result["n_docs_scaled"] = n_scaled
+            result["docs_per_sec_scaled"] = round(
+                n_scaled / timings["index_build_20x"], 2
+            )
             s = Searcher(spark, index_dir)
             s.docs.count()  # warm caches once, like a serving deployment
             s.term_stats.count()
             for name, fn in BENCH_QUERIES:
-                t0 = time.time()
-                fn(s).collect()
-                timings[name] = round(time.time() - t0, 3)
+                timings[name] = _median3(lambda fn=fn: fn(s).collect())
 
             from gitlab_elasticsearch_indexer_spark.operators.ann import brute_force_topk
             from gitlab_elasticsearch_indexer_spark.operators.dedup import minhash_signatures
@@ -115,15 +160,13 @@ def run_once(
 
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-            t0 = time.time()
-            brute_force_topk(emb, 0, 10).collect()
-            timings["ann_brute_topk"] = round(time.time() - t0, 3)
-            t0 = time.time()
-            minhash_signatures(docs).count()
-            timings["dedup_minhash"] = round(time.time() - t0, 3)
-            t0 = time.time()
-            quality_scores(docs).count()
-            timings["text_quality"] = round(time.time() - t0, 3)
+            timings["ann_brute_topk"] = _median3(
+                lambda: brute_force_topk(emb, 0, 10).collect()
+            )
+            timings["dedup_minhash"] = _median3(
+                lambda: minhash_signatures(docs).count()
+            )
+            timings["text_quality"] = _median3(lambda: quality_scores(docs).count())
         result["timings"] = timings
         return result
     finally:
@@ -179,7 +222,9 @@ def main() -> None:
 
     r = run_once(CPUS, SF_DIR, keep_queries=True)
     timings = r["timings"]
-    total = round(sum(timings.values()), 3)
+    # `value` keeps the r1-r3 composition (base build + queries) so rounds
+    # stay comparable; the replicated leg is reported alongside
+    total = round(sum(v for k, v in timings.items() if k != "index_build_20x"), 3)
     print(json.dumps({
         "metric": "index_build_plus_query_suite",
         "value": total,
@@ -188,7 +233,10 @@ def main() -> None:
         "sf": SF_DIR,
         "n_docs": r["n_docs"],
         "docs_per_sec": r["docs_per_sec"],
+        "n_docs_scaled": r.get("n_docs_scaled"),
+        "docs_per_sec_scaled": r.get("docs_per_sec_scaled"),
         "cpus": CPUS,
+        "timing_method": "median_of_3",
     }))
 
 

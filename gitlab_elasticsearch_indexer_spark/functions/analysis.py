@@ -5,13 +5,20 @@ Re-implements the analysis section of the reference's index mapping
 pandas UDFs (functions/udfs.py).  Chains:
 
 - default analyzer  = standard tokenizer + lowercase + light_english stemmer
-  (elastic/index.go:29-36).  The standard tokenizer is approximated with the
-  Unicode word pattern ``[^\\W_]+`` (UAX#29 word segmentation keeps
-  letter/digit runs; underscore is punctuation).  ES ``light_english``
+  (elastic/index.go:29-36).  The standard tokenizer implements UAX#29 word
+  segmentation (the rules Lucene's StandardTokenizer follows): letter/digit
+  runs extended by MidLetter/MidNumLet between letters (``don't``,
+  ``U.S.A.`` → ``u.s.a``), MidNum/MidNumLet between digits (``3.14``,
+  ``1,000``), ExtendNumLet joins (``foo_bar`` is ONE token), Katakana runs
+  as single tokens, and Han/Hiragana ideographs as one token per character.
+  Tokenization runs on the ORIGINAL string and the lowercase filter applies
+  per token afterwards — the Lucene filter-chain order, which also keeps
+  index- and query-time streams identical to the offsets path for
+  codepoints whose lowercase changes length (U+0130).  ES ``light_english``
   resolves to Lucene's KStemFilter — implemented in functions/kstem.py
   (published Krovetz algorithm + curated lexicon; divergences documented
   there).  ``light_english_stem`` below is the simpler published
-  EnglishMinimalStemmer, kept as the ``minimal_english`` option.
+  EnglishMinimalStemmer, used by the ``minimal_english`` option.
 - simple analyzer   = lowercase + ``[a-z0-9]+`` runs.  Chosen as the
   engine's *oracle* analyzer: it is exactly expressible in both Spark SQL
   (`split(lower(text),'[^a-z0-9]+')`) and DuckDB
@@ -35,9 +42,46 @@ from typing import Callable, Iterable
 
 import pandas as pd
 
-# [^\W_]+ == unicode letters+digits, excluding underscore (UAX#29-ish)
-_STANDARD_RE = re.compile(r"[^\W_]+", re.UNICODE)
+# letter/digit runs — the ngram TOKENIZER's token_chars: [letter, digit]
+# (elastic/index.go:64-72); NOT the standard tokenizer (see _UAX29_RE)
+_ALNUM_RUN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+# ---------------------------------------------------------------------------
+# UAX#29 word segmentation — the `standard` tokenizer (elastic/index.go:30-36;
+# Lucene StandardTokenizer implements the Unicode TR29 word-boundary rules).
+# Encoded as one alternation regex:
+#   1. Katakana runs stay together (WB13);
+#   2. Han + Hiragana emit ONE TOKEN PER CHARACTER (Lucene's IDEOGRAPHIC /
+#      HIRAGANA handling — no join rule exists for them);
+#   3. everything else: runs of word characters (letters, digits, underscore
+#      — ExtendNumLet joins via WB13a/13b, so `foo_bar` is one token),
+#      extended by MidLetter/MidNumLet between letters (WB6/7: apostrophes,
+#      U+00B7/U+0387/U+05F4/U+2027, and `.` — `don't`, `U.S.A`,
+#      `example.com`) and MidNum/MidNumLet between digits (WB11/12: `.`
+#      `,` U+066B/U+066C — `3.14`, `1,000`).  Colon is NOT a joiner (removed
+#      from MidLetter; ES splits `foo:bar`).
+# Context classes use fixed-width lookaround so a joiner binds only when
+# BOTH neighbours are the right category (`2'a` / trailing `U.S.A.` dot
+# stay out).  Divergences (documented): Hebrew gershayim WB7a/7b/7c and
+# regional-indicator rules are not modeled.
+# ---------------------------------------------------------------------------
+_HAN = "⺀-⻿々〇〡-〩㐀-䶿一-鿿豈-﫿"
+_HIRA = "ぁ-ゖゝ-ゟ"
+_KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
+_WCH = rf"[^\W{_HAN}{_HIRA}{_KATA}]"          # word char (incl. _) minus CJK
+_LET = rf"[^\W\d_{_HAN}{_HIRA}{_KATA}]"       # letter only, minus CJK
+# MidLetter ∪ MidNumLet: apostrophe U+0027/U+2019, FULL STOP, U+00B7,
+# U+0387, U+05F4, U+2027
+_MIDLET = "[\u0027\u2019.\u00B7\u0387\u05F4\u2027]"
+# MidNum ∪ MidNumLet: FULL STOP, COMMA, apostrophes, U+066B, U+066C
+_MIDNUM = "[.,\u0027\u2019\u066B\u066C]"
+_UAX29_RE = re.compile(
+    rf"[{_KATA}]+"
+    rf"|[{_HAN}{_HIRA}]"
+    rf"|{_WCH}(?:{_WCH}|(?<={_LET}){_MIDLET}(?={_LET})|(?<=\d){_MIDNUM}(?=\d))*",
+    re.UNICODE,
+)
 _WS_RE = re.compile(r"\S+")
 # word_delimiter_graph: split points inside a whitespace token
 _WDG_SPLIT_RE = re.compile(
@@ -118,7 +162,7 @@ def edge_ngrams(token: str, min_gram: int = 2, max_gram: int = 40) -> list[str]:
 def char_ngrams(text: str, min_gram: int = 2, max_gram: int = 3) -> list[str]:
     """ngram tokenizer 2-3 over letter/digit runs (elastic/index.go:64-72)."""
     out: list[str] = []
-    for run in _STANDARD_RE.findall(text):
+    for run in _ALNUM_RUN_RE.findall(text):
         for n in range(min_gram, max_gram + 1):
             out.extend(run[i : i + n] for i in range(len(run) - n + 1))
     return out
@@ -192,13 +236,13 @@ def analyze_default(text: str) -> list[str]:
     """standard tokenizer + lowercase + KStem (= ES light_english)."""
     from . import kstem
 
-    return [kstem.stem(t) for t in _STANDARD_RE.findall(text.lower())]
+    return [kstem.stem(t.lower()) for t in _UAX29_RE.findall(text)]
 
 
 def analyze_minimal(text: str) -> list[str]:
     """standard tokenizer + lowercase + EnglishMinimalStemmer — the lighter
     plural-only alternative (kept for comparison/tests)."""
-    return [light_english_stem(t) for t in _STANDARD_RE.findall(text.lower())]
+    return [light_english_stem(t.lower()) for t in _UAX29_RE.findall(text)]
 
 
 def analyze_simple(text: str) -> list[str]:
@@ -254,13 +298,26 @@ def _kstem_lexicon_fingerprint() -> str:
 
 
 ANALYZER_VERSIONS: dict[str, str] = {
-    "default": f"standard-lower-kstem-{_kstem_lexicon_fingerprint()}",
-    "minimal_english": "standard-lower-minimal-1",
+    # uax29: r4 replaced the [^\W_]+ approximation with real UAX#29 word
+    # boundaries (contractions, MidNum, ExtendNumLet, CJK) — token output
+    # changed, so both standard-tokenizer chains bumped
+    "default": f"uax29-lower-kstem-{_kstem_lexicon_fingerprint()}",
+    "minimal_english": "uax29-lower-minimal-2",
     "simple": "lower-alnum-1",
     "code": "ws-wdg-fold-edge2.40-2",  # v2: Lucene fold table beyond NFKD
     "path": "pathrev-fold-2",          # v2: Lucene fold table beyond NFKD
     "ngram": "ngram2.3-lower-1",
 }
+
+
+def refresh_analyzer_versions() -> None:
+    """Recompute content-derived version entries.  kstem.load_lexicon()
+    mutates the lexicon AFTER import, so the fingerprint captured at import
+    time would go stale — the guard would then pass while actual token
+    output differs (exactly the mismatch it exists to catch).  load_lexicon
+    calls this; anything else that mutates analyzer behavior at runtime
+    must too."""
+    ANALYZER_VERSIONS["default"] = f"uax29-lower-kstem-{_kstem_lexicon_fingerprint()}"
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "default") -> pd.Series:
@@ -303,7 +360,7 @@ def analyze_default_offsets(text: str) -> list[tuple[str, int, int]]:
 
     return [
         (kstem.stem(m.group(0).lower()), m.start(), m.end())
-        for m in _STANDARD_RE.finditer(text)
+        for m in _UAX29_RE.finditer(text)
     ]
 
 

@@ -75,6 +75,37 @@ _CODEC_PRIORITY = {
 _ISO2022_JP_MARKS = (b"\x1b$B", b"\x1b$@", b"\x1b(J")
 
 
+def _looks_cp1255(data: bytes) -> bool:
+    """Hebrew (windows-1255) pre-check.  charset_normalizer ships no Hebrew
+    model, so cp1255 pages otherwise decode as Cyrillic mojibake (its
+    cp1251 reading scores coherence ~0.6 — HIGHER than real Latin text —
+    so no candidate re-ranking can recover an absent candidate).  ICU's
+    detector has the Hebrew model (indexer/encoding.go:50-80); this byte
+    heuristic restores that case:
+
+    - ≥90% of high bytes in 0xE0–0xFA (the cp1255 Hebrew consonants א-ת) —
+      rejects Arabic cp1256 (0.35 here) and, jointly with strict decode,
+      Greek/Cyrillic pages;
+    - almost no ASCII letters — rejects Latin-script pages with sprinkled
+      accents (café), whose accented bytes also land in 0xE0–0xFA;
+    - strict cp1255 decode (checked by the caller) — cp1255's undefined
+      positions reject cp1253/cp1251/koi8 byte distributions.
+
+    Divergence, documented: niqqud-pointed text (0xC0–0xCF) and
+    mixed-Hebrew/Latin pages fall back to the statistical chain.
+    """
+    hi = [b for b in data if b >= 0x80]
+    if len(hi) < 8:
+        return False
+    hebrew = sum(1 for b in hi if 0xE0 <= b <= 0xFA)
+    if hebrew / len(hi) < 0.9:
+        return False
+    ascii_letters = sum(
+        1 for b in data if 0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A
+    )
+    return ascii_letters <= 0.1 * (ascii_letters + len(hi))
+
+
 def _pick_candidate(matches):
     ranked = sorted(
         matches,
@@ -108,6 +139,11 @@ def try_encode_bytes(data: bytes | None) -> str:
         return data.decode("utf-8", errors="strict")
     except UnicodeDecodeError:
         pass
+    if _looks_cp1255(data):
+        try:
+            return data.decode("cp1255", errors="strict")
+        except UnicodeDecodeError:
+            pass
     if _cn_from_bytes is not None and len(data) >= _MIN_DETECT_BYTES:
         best = _pick_candidate(list(_cn_from_bytes(data)))
         if best is not None:

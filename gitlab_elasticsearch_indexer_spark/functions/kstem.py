@@ -12,10 +12,10 @@ stem is a dictionary headword — the defining property that makes KStem far
 more conservative (and rank-stable) than Porter-family stemmers.
 
 Divergence, documented: Lucene ships a ~30k-headword lexicon
-(KStemData1-8); this module embeds a curated ~3.8k-headword subset of
-common English (round 3 tripled the original ~1.3k set with frequency-
-banded everyday vocabulary plus -ion/-ive/-ity/-ness lemma families) and
-the same conservative fallbacks.  Consequences:
+(KStemData1-8); this module embeds a curated subset of common English
+(~10k headwords as of round 4 — the exact count is ``len(_DICT)`` and is
+hashed into the catalog's analyzer-version fingerprint) and the same
+conservative fallbacks.  Consequences:
 
 - words COVERED by the embedded lexicon stem identically to Lucene KStem
   (golden-tested in tests/test_functions.py);
@@ -1614,9 +1614,15 @@ _DICT: set[str] = (
 
 def load_lexicon(words) -> None:
     """Merge additional headwords (e.g. a full KStem lexicon file) into the
-    dictionary at runtime."""
+    dictionary at runtime.  Refreshes the content-derived analyzer version
+    so the catalog guard sees the mutated lexicon, not the import-time
+    fingerprint (a stale fingerprint would let a mismatched index search
+    silently)."""
     _DICT.update(w.strip().lower() for w in words if w.strip())
     _cache.clear()
+    from . import analysis
+
+    analysis.refresh_analyzer_versions()
 
 
 def _in_dict(w: str) -> bool:

@@ -85,6 +85,63 @@ _EXTENSIONS: dict[str, str] = {
 }
 
 
+# shebang interpreter → language (enry data.InterpretersByLanguage analog —
+# the common published interpreter names; trailing versions are stripped
+# before lookup, so python2.7/python3 both land on "python")
+_INTERPRETERS: dict[str, str] = {
+    "python": "Python", "ruby": "Ruby", "node": "JavaScript",
+    "nodejs": "JavaScript", "deno": "TypeScript", "sh": "Shell",
+    "bash": "Shell", "dash": "Shell", "zsh": "Shell", "ksh": "Shell",
+    "ash": "Shell", "perl": "Perl", "php": "PHP", "lua": "Lua",
+    "rscript": "R", "tclsh": "Tcl", "wish": "Tcl", "awk": "Awk",
+    "gawk": "Awk", "mawk": "Awk", "nawk": "Awk", "fish": "fish",
+    "pwsh": "PowerShell", "elixir": "Elixir", "escript": "Erlang",
+    "groovy": "Groovy", "runghc": "Haskell", "runhaskell": "Haskell",
+    "julia": "Julia", "racket": "Racket", "guile": "Scheme",
+    "expect": "Expect", "sed": "sed",
+}
+
+# Emacs -*- mode -*- / Vim ft= names → language (linguist modeline analog)
+_MODELINE_MODES: dict[str, str] = {
+    "python": "Python", "ruby": "Ruby", "sh": "Shell", "shell": "Shell",
+    "shell-script": "Shell", "bash": "Shell", "javascript": "JavaScript",
+    "js": "JavaScript", "typescript": "TypeScript", "c": "C", "cpp": "C++",
+    "c++": "C++", "go": "Go", "perl": "Perl", "rust": "Rust",
+    "java": "Java", "lua": "Lua", "yaml": "YAML", "json": "JSON",
+    "xml": "XML", "html": "HTML", "css": "CSS", "sql": "SQL",
+    "makefile": "Makefile", "make": "Makefile", "dockerfile": "Dockerfile",
+    "markdown": "Markdown", "tcl": "Tcl", "scheme": "Scheme",
+    "lisp": "Common Lisp", "elisp": "Emacs Lisp", "emacs-lisp": "Emacs Lisp",
+    "org": "Org", "rst": "reStructuredText", "conf": "INI", "toml": "TOML",
+}
+
+
+def _case_over(col: Column, mapping: dict[str, str]) -> Column:
+    """NULL-defaulted chained CASE — one codegen'd expression, no UDF."""
+    expr = F.lit(None).cast("string")
+    for k, lang in mapping.items():
+        expr = F.when(col == k, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _filename_lang(lower: Column) -> Column:
+    """enry's exact/prefix filename matchers (nullable)."""
+    expr = _case_over(lower, _FILENAMES)
+    # enry's Makefile filename matcher is a prefix match: Makefile.am,
+    # Makefile.in, makefile.unix all land on Makefile
+    expr = F.when(lower.startswith("makefile"), F.lit("Makefile")).otherwise(expr)
+    expr = F.when(lower.startswith("dockerfile"), F.lit("Dockerfile")).otherwise(expr)
+    return expr
+
+
+def _extension_lang(lower: Column) -> Column:
+    """Lowercased final-extension map (nullable).  Filenames without a dot
+    yield themselves as 'extension'; collisions with real extensions are
+    resolved by the filename stage running first."""
+    ext = F.element_at(F.split(lower, r"\."), -1)
+    return _case_over(ext, _EXTENSIONS)
+
+
 def prog_language_col(file_name: Column) -> Column:
     """file_name → programming-language name, pure JVM.
 
@@ -94,15 +151,53 @@ def prog_language_col(file_name: Column) -> Column:
     One chained CASE expression — constant-folds into codegen; no UDF.
     """
     lower = F.lower(file_name)
-    ext = F.element_at(F.split(lower, r"\."), -1)
-    expr = F.lit(None).cast("string")
-    # build innermost-first: extension map, then filename overrides
-    for e, lang in _EXTENSIONS.items():
-        expr = F.when(ext == e, F.lit(lang)).otherwise(expr)
-    for name, lang in _FILENAMES.items():
-        expr = F.when(lower == name, F.lit(lang)).otherwise(expr)
-    # enry's Makefile filename matcher is a prefix match: Makefile.am,
-    # Makefile.in, makefile.unix all land on Makefile
-    expr = F.when(lower.startswith("makefile"), F.lit("Makefile")).otherwise(expr)
-    expr = F.when(lower.startswith("dockerfile"), F.lit("Dockerfile")).otherwise(expr)
-    return F.coalesce(expr, F.lit(DEFAULT_LANGUAGE))
+    return F.coalesce(
+        _filename_lang(lower), _extension_lang(lower), F.lit(DEFAULT_LANGUAGE)
+    )
+
+
+def prog_language_content_col(file_name: Column, content: Column) -> Column:
+    """enry's content-aware detection (indexer/blob.go:116-127:
+    enry.GetLanguage(filename, data)) — still ONE pure-JVM expression.
+
+    Strategy order is linguist/enry's: modeline → filename → shebang →
+    extension → "Text".  An extensionless ``deploy`` script starting
+    ``#!/usr/bin/env python3`` classifies as Python instead of falling to
+    "Text" (the r3 gap).  The trailing content stage (naive-Bayes
+    classifier over tokens) is NOT implemented — documented divergence;
+    its fallback "Text" is the same default.
+    """
+    lower = F.lower(file_name)
+    head = F.substring(content, 1, 512)
+
+    # --- shebang: '#!/path/interp [arg]', env-aware, version-stripped ----
+    sheb = F.regexp_extract(head, r"^#!([^\n]*)", 1)
+    tok0 = F.regexp_extract(sheb, r"^[ \t]*(\S+)", 1)
+    tok1 = F.regexp_extract(sheb, r"^[ \t]*\S+[ \t]+(\S+)", 1)
+    base0 = F.element_at(F.split(tok0, "/"), -1)
+    interp = F.when(base0 == "env", F.element_at(F.split(tok1, "/"), -1)).otherwise(
+        base0
+    )
+    interp = F.lower(F.regexp_replace(interp, r"[0-9.]+$", ""))
+    shebang_lang = _case_over(interp, _INTERPRETERS)
+
+    # --- modelines: Emacs '-*- mode: x -*-' / '-*- x -*-', Vim 'ft=x' -----
+    emacs = F.lower(
+        F.regexp_extract(head, r"-\*-[ \t]*(?:[Mm]ode:[ \t]*)?([A-Za-z0-9+#_-]+)[ \t]*(?:;[^\n]*)?-\*-", 1)
+    )
+    vim = F.lower(
+        F.regexp_extract(
+            head, r"[Vv]im?:[ \t]*(?:set[ \t]+)?[^\n]*?(?:ft|filetype)=([A-Za-z0-9_]+)", 1
+        )
+    )
+    modeline_lang = F.coalesce(
+        _case_over(emacs, _MODELINE_MODES), _case_over(vim, _MODELINE_MODES)
+    )
+
+    return F.coalesce(
+        modeline_lang,
+        _filename_lang(lower),
+        shebang_lang,
+        _extension_lang(lower),
+        F.lit(DEFAULT_LANGUAGE),
+    )

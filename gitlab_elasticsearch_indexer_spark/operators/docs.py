@@ -85,9 +85,12 @@ def build_docs(
         )
     )
     if with_prog_lang:
-        from ..functions.proglang import prog_language_col
+        from ..functions.proglang import prog_language_content_col
 
-        out = out.withColumn("prog_language", prog_language_col(F.col("file_name")))
+        out = out.withColumn(
+            "prog_language",
+            prog_language_content_col(F.col("file_name"), F.col("content")),
+        )
     if detect_lang:
         missing = F.col("lang").isNull() | (F.col("lang") == "")
         out = out.withColumn(

@@ -176,14 +176,43 @@ def build_index(
     agg_row = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").cast("long").alias("n_tokens"),
+        F.max("dl").cast("long").alias("max_dl"),
         *[
             F.sum(f"dl_{fld}").cast("long").alias(f"n_tokens_{fld}")
+            for fld in extra_fields
+        ],
+        *[
+            F.max(f"dl_{fld}").cast("long").alias(f"max_dl_{fld}")
             for fld in extra_fields
         ],
     ).collect()[0]
     n_docs = int(agg_row["n_docs"])
     total_tokens = int(agg_row["n_tokens"] or 0)
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    # dl saturation check (free — same scalar agg): the packed shuffle row
+    # keeps dl in DL_BITS bits, exact for ≤1-token-per-char chains under the
+    # 1 MiB cap, but token-EXPANDING chains (ngram ~2×/char, code
+    # edge-ngrams up to ~39×/word) can exceed it; pack_docid_dl then clamps
+    # and the segments' min_dl/max_tfn block stats are computed from the
+    # understated dl (bounds stay VALID — looser — and exact scores always
+    # use docs.dl).  Surface it instead of clamping silently.
+    from ..operators.postings import _DL_MASK
+
+    _max_dls = {analyzer: int(agg_row["max_dl"] or 0)}
+    for fld, fld_an in extra_fields.items():
+        _max_dls[fld_an] = max(
+            _max_dls.get(fld_an, 0), int(agg_row[f"max_dl_{fld}"] or 0)
+        )
+    for an, mdl in _max_dls.items():
+        if mdl > _DL_MASK:
+            import warnings
+
+            warnings.warn(
+                f"analyzer {an!r} produced a document of {mdl} tokens "
+                f"(> 2^{_DL_MASK.bit_length()} - 1); packed dl saturates, so "
+                "block min_dl/max_tfn stats are conservative for such docs "
+                "(scores stay exact via docs.dl)"
+            )
     field_meta = {
         fld: {
             "analyzer": fld_an,
@@ -194,6 +223,12 @@ def build_index(
             # exact integer total so incremental merges can update field
             # avgdl arithmetically without float drift
             "total": int(agg_row[f"n_tokens_{fld}"] or 0),
+            # per-field analyzer implementation version: extra fields are
+            # analyzed at query time too, so the search-time guard must
+            # check EVERY chain the index was built with, not only the
+            # content field's (a code/path chain change would otherwise
+            # silently mismatch)
+            "analyzer_version": ANALYZER_VERSIONS.get(fld_an),
         }
         for fld, fld_an in extra_fields.items()
     }

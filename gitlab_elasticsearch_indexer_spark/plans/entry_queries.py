@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import BM25_B, BM25_K1
+from ..functions.analysis import light_english_stem
 from ..operators.postings import decode_segments
 from ..operators.search import search_exhaustive
 from ..operators.wand import search_blockmax
@@ -124,14 +125,16 @@ def _index_for(
     sf_dir: str,
     with_positions: bool = False,
     analyzer: str = "simple",
+    source: str = "base",
 ) -> str:
-    key = (os.path.abspath(sf_dir), with_positions, analyzer)
+    key = (os.path.abspath(sf_dir), with_positions, analyzer, source)
     if key in _built:
         return _built[key]
     tag = (
         os.path.abspath(sf_dir).strip("/").replace("/", "_")
         + ("_pos" if with_positions else "")
         + ("" if analyzer == "simple" else f"_{analyzer}")
+        + ("" if source == "base" else f"_{source}")
     )
     index_dir = os.path.join(_CACHE_ROOT, tag)
     need_build = True
@@ -141,7 +144,12 @@ def _index_for(
     except Exception:
         need_build = True
     if need_build:
-        pages = pages_from_documents(spark, sf_dir)
+        if source == "pluralized":
+            from ..sources.pages import pages_pluralized
+
+            pages = pages_pluralized(spark, sf_dir)
+        else:
+            pages = pages_from_documents(spark, sf_dir)
         build_index(
             spark, pages, index_dir, analyzer=analyzer,
             with_positions=with_positions, snapshot="s1",
@@ -155,8 +163,9 @@ def _searcher(
     sf_dir: str,
     with_positions: bool = False,
     analyzer: str = "simple",
+    source: str = "base",
 ) -> Searcher:
-    return Searcher(spark, _index_for(spark, sf_dir, with_positions, analyzer))
+    return Searcher(spark, _index_for(spark, sf_dir, with_positions, analyzer, source))
 
 
 def _topk_entry(query: str, k: int, mode: str, doc_filter_expr: str | None = None):
@@ -391,6 +400,11 @@ DEMOTED = {
     "ann_centroids",
     "events_windowed",
     "events_sessionize",
+    # structurally un-oracle-able (KStem ∉ SQL): rows-only forever as a
+    # driver entry, so its slot goes to ft_bm25_minimal_topk (full value
+    # oracle over the stemmed path); the KStem chain keeps its independent
+    # pandas rank-identity oracle in tests/test_pipeline.py
+    "ft_bm25_default_topk",
 }
 
 # Explicit driver-facing order: highest-leverage capabilities first so a
@@ -400,7 +414,7 @@ _ORDER = [
     # core index + search
     "ft_collection_stats", "ft_term_stats_top", "ft_postings", "ft_doclen",
     "ft_bm25_topk", "ft_bm25_topk_blockmax", "ft_bm25_and",
-    "ft_bm25_head_term", "ft_bm25_filtered", "ft_bm25_default_topk",
+    "ft_bm25_head_term", "ft_bm25_filtered", "ft_bm25_minimal_topk",
     "ft_match_count", "ft_term_lookup", "ft_phrase_match",
     "ft_field_path_search", "ft_field_code_search",
     "routed_two_tables", "ann_ivf_topk",
@@ -1012,16 +1026,23 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 5
 
 
 # --- ann_lsh_rp_topk: seeded random-projection sign-LSH (the production
-# hash family — axis-sign buckets have poor recall on real embeddings) ------
+# hash family — axis-sign buckets have poor recall on real embeddings).
+# 6 planes → the probe bucket holds ~15 of sf0.01's 500 vectors, so the
+# driver row checks a k=10 result drawn from a real in-bucket ranking
+# (8 planes left only 2 rows — too thin to evidence the bucketing path) ----
 from ..operators.ann import random_planes as _random_planes
 
-_RP_PLANES = _random_planes(64, 8, seed=7)
+_RP_N_PLANES = 6
+_RP_PLANES = _random_planes(64, _RP_N_PLANES, seed=7)
 
 
 def _ann_lsh_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import rp_bucket_topk
 
-    return rp_bucket_topk(_embeddings(spark, sf_dir), query_vec_id=0, k=5, dim=64)
+    return rp_bucket_topk(
+        _embeddings(spark, sf_dir), query_vec_id=0, k=10,
+        n_planes=_RP_N_PLANES, dim=64,
+    )
 
 
 def _rp_dot_sql(plane: list[float]) -> str:
@@ -1045,7 +1066,7 @@ WITH b AS (SELECT vec_id, embedding, {_RP_BUCKET_SQL} AS bucket FROM embeddings)
 SELECT CAST(e.vec_id AS BIGINT) AS vec_id, {_COS_SQL} AS cosine
 FROM b e JOIN (SELECT embedding, bucket FROM b WHERE vec_id = 0) q ON e.bucket = q.bucket
 WHERE e.vec_id <> 0
-ORDER BY cosine DESC, vec_id ASC LIMIT 5
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """,
 )
 
@@ -2060,6 +2081,96 @@ def _ft_bm25_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ft_bm25_default_topk", _ft_bm25_default, None)
+
+
+# --- ft_bm25_minimal_topk: the stemmed end-to-end path with a FULL value
+# oracle.  minimal_english = UAX#29 standard tokenizer + lowercase + Lucene
+# EnglishMinimalStemmer — unlike KStem the stemmer IS SQL-expressible (one
+# CASE), so this entry hash-checks a stemmed build+BM25 top-k end to end
+# (the driver slot the default chain could never convert).  The index is
+# built over the pluralized twin corpus (sources/pages.pages_pluralized):
+# the driver corpus has no inflected forms, so over base pages the stemmer
+# would be a no-op on the index side and its oracle vacuous.
+def _minimal_stem_sql(col: str) -> str:
+    """Lucene EnglishMinimalStemmer as a SQL CASE (functions/analysis.py
+    light_english_stem, branch-for-branch)."""
+    t = col
+    return f"""CASE
+      WHEN len({t}) < 3 OR substr({t}, len({t}), 1) <> 's' THEN {t}
+      WHEN substr({t}, len({t}) - 1, 1) IN ('u', 's') THEN {t}
+      WHEN substr({t}, len({t}) - 1, 1) = 'e' THEN CASE
+        WHEN len({t}) > 3 AND substr({t}, len({t}) - 2, 1) = 'i'
+             AND (len({t}) < 5 OR substr({t}, len({t}) - 3, 1) NOT IN ('a', 'e'))
+          THEN substr({t}, 1, len({t}) - 3) || 'y'
+        WHEN substr({t}, len({t}) - 2, 1) IN ('i', 'a', 'o', 'e') THEN {t}
+        ELSE substr({t}, 1, len({t}) - 1)
+      END
+      ELSE substr({t}, 1, len({t}) - 1)
+    END"""
+
+
+def _ft_bm25_minimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir, analyzer="minimal_english", source="pluralized")
+    hits = s.search("tables values queries", k=60, mode="blockmax", with_docs=False)
+    return (
+        hits.select("docid", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
+# query terms stemmed exactly as the engine stems them at query time
+_Q_MINIMAL = [light_english_stem(t) for t in ("tables", "values", "queries")]
+
+register(
+    "ft_bm25_minimal_topk",
+    _ft_bm25_minimal,
+    f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' ' || regexp_replace(text, '([a-z0-9]+)', '\\1s', 'g') AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM p
+  ) WHERE term <> ''
+),
+stoks AS (SELECT doc_id, {_minimal_stem_sql("term")} AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM stoks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(c.dl, 0) AS INT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) c USING (doc_id)
+),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+qterms AS (SELECT unnest([{", ".join(f"'{t}'" for t in _Q_MINIMAL)}]) AS term),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS docid,
+         sum(
+           ln(1 + (consts.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / consts.avgdl))
+         ) AS raw
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN consts
+  GROUP BY tf.doc_id
+)
+SELECT docid, round(raw, 4) AS score
+FROM scored
+ORDER BY round(raw, 4) DESC, docid ASC
+LIMIT 10
+""",
+)
 
 
 # --- ann_ivf_topk: KMeans coarse quantizer, FULL probe — degrades exactly

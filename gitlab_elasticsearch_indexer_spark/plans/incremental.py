@@ -69,6 +69,7 @@ def apply_delta(
     new_snapshot: str,
     project_id: int = 1,
     max_chain: int = 3,
+    allow_analyzer_mismatch: bool = False,
 ) -> cat.Catalog:
     """delta: PAGES_DELTA-shaped (+ doc_id for new/modified rows)."""
     old = cat.read_catalog(index_dir)
@@ -78,6 +79,33 @@ def apply_delta(
     # exactly (positions payloads, per-field dl columns, namespaced terms)
     fields_meta = old.fields or {}
     field_analyzers = {fld: m["analyzer"] for fld, m in fields_meta.items()}
+
+    # The delta is tokenized with the CURRENT analyzer implementation but
+    # merged into postings produced by the OLD one: if the versions differ
+    # the merged index silently mixes two analyzers — detected only later,
+    # at search time, after the damage is committed.  Refuse up front (the
+    # search-time guard is the backstop, not the gate).
+    from ..functions.analysis import ANALYZER_VERSIONS
+
+    _pairs = [(old.analyzer, old.analyzer_version)] + [
+        (m["analyzer"], m.get("analyzer_version")) for m in fields_meta.values()
+    ]
+    for _an, _stored in _pairs:
+        _current = ANALYZER_VERSIONS.get(_an)
+        if _stored is None or _current is None or _stored == _current:
+            continue
+        _msg = (
+            f"apply_delta would mix analyzers: index {index_dir!r} snapshot "
+            f"{old.snapshot!r} was built with {_an!r} version {_stored!r}, "
+            f"but this code implements {_current!r}.  Rebuild the index "
+            "instead, or pass allow_analyzer_mismatch=True to force."
+        )
+        if allow_analyzer_mismatch:
+            import warnings
+
+            warnings.warn(_msg)
+        else:
+            raise ValueError(_msg)
 
     removals = delta.filter(F.col("op").isin("DELETED", "RENAMED")).select(
         F.coalesce(F.col("old_url"), F.col("url")).alias("url")

@@ -56,23 +56,30 @@ class Searcher:
         'default' across the r1→r2 EnglishMinimalStemmer→KStem change)."""
         from ..functions.analysis import ANALYZER_VERSIONS
 
-        stored = getattr(self.catalog, "analyzer_version", None)
-        current = ANALYZER_VERSIONS.get(self.catalog.analyzer)
-        if stored is None or current is None or stored == current:
-            return
-        msg = (
-            f"index {self.index_dir!r} was built with analyzer "
-            f"{self.catalog.analyzer!r} version {stored!r}, but this code "
-            f"implements version {current!r}; query-time analysis would not "
-            "match the stored postings. Rebuild the index, or pass "
-            "allow_analyzer_mismatch=True to search anyway."
-        )
-        if allow_mismatch:
-            import warnings
+        # every analyzed chain must match: the content field's AND each
+        # extra field's (path/code chains are analyzed at query time too —
+        # a fold-table change in the code chain with an unchanged default
+        # chain is exactly the silent mismatch this guard exists to catch)
+        checks = [(self.catalog.analyzer, getattr(self.catalog, "analyzer_version", None))]
+        for fld, meta in (self.catalog.fields or {}).items():
+            checks.append((meta["analyzer"], meta.get("analyzer_version")))
+        for analyzer, stored in checks:
+            current = ANALYZER_VERSIONS.get(analyzer)
+            if stored is None or current is None or stored == current:
+                continue
+            msg = (
+                f"index {self.index_dir!r} was built with analyzer "
+                f"{analyzer!r} version {stored!r}, but this code "
+                f"implements version {current!r}; query-time analysis would "
+                "not match the stored postings. Rebuild the index, or pass "
+                "allow_analyzer_mismatch=True to search anyway."
+            )
+            if allow_mismatch:
+                import warnings
 
-            warnings.warn(msg)
-        else:
-            raise ValueError(msg)
+                warnings.warn(msg)
+            else:
+                raise ValueError(msg)
 
     def docs_content(self) -> DataFrame:
         """(docid, content) — lazy, uncached: the display/snippet fetch path.

@@ -63,6 +63,39 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_pluralized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose content is the document text plus a pluralized twin of
+    every token (``... table ... tables ...``).  The driver corpus contains
+    no inflected forms at all, so a stemming analyzer over the base pages
+    would be a no-op on the index side — its oracle vacuously identical to
+    an unstemmed one.  This derived corpus makes the stemmer's conflations
+    load-bearing in the value hash while staying a pure function of doc_id
+    (DuckDB twin: ``text || ' ' || regexp_replace(text,'([a-z0-9]+)','\\1s','g')``).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.regexp_replace(F.col("text"), r"([a-z0-9]+)", r"$1s"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://example.com/"),
+            F.col("source"),
+            F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+        F.encode(text2, "UTF-8").alias("html"),
+        text2.alias("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
 def special_pages(spark: SparkSession, base_docid: int = 10_000_000) -> DataFrame:
     """FIXTURES.md §1 special row classes, deterministic, for golden tests.
 

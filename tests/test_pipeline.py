@@ -498,6 +498,80 @@ class TestRankIdentity:
             with open(cpath, "w") as f:
                 json.dump(doc, f)
 
+    def test_analyzer_version_guard_extra_fields(self, spark, index_dir):
+        """The guard checks EVERY analyzed chain: an extra field built by an
+        older code/path analyzer must refuse too — those chains run at query
+        time as well (ADVICE r3)."""
+        import json
+        import os
+
+        cpath = os.path.join(index_dir, "s1", "catalog.json")
+        with open(cpath) as f:
+            doc = json.load(f)
+        orig = json.dumps(doc)
+        doc["fields"] = {
+            "file_name": {
+                "analyzer": "code",
+                "dl_col": "dl_file_name",
+                "avgdl": 5.0,
+                "analyzer_version": "ws-wdg-fold-edge2.40-1-OLD",
+            }
+        }
+        with open(cpath, "w") as f:
+            json.dump(doc, f)
+        try:
+            with pytest.raises(ValueError, match="code"):
+                Searcher(spark, index_dir)
+        finally:
+            with open(cpath, "w") as f:
+                f.write(orig)
+
+    def test_apply_delta_refuses_analyzer_mismatch(self, spark, index_dir):
+        """apply_delta tokenizes the delta with the CURRENT implementation;
+        merging into postings from a different one would silently mix
+        analyzers — must refuse up front, not at search time."""
+        import json
+        import os
+
+        from gitlab_elasticsearch_indexer_spark.plans.incremental import apply_delta
+
+        cpath = os.path.join(index_dir, "s1", "catalog.json")
+        with open(cpath) as f:
+            doc = json.load(f)
+        orig = json.dumps(doc)
+        doc["analyzer_version"] = "lower-alnum-0-OLD"
+        with open(cpath, "w") as f:
+            json.dump(doc, f)
+        delta = spark.createDataFrame(
+            [("https://example.com/new.html", None, "ADDED", b"<p>new</p>", 999)],
+            "url string, old_url string, op string, html binary, doc_id long",
+        )
+        try:
+            with pytest.raises(ValueError, match="mix analyzers"):
+                apply_delta(spark, index_dir, delta, "s_bad")
+        finally:
+            with open(cpath, "w") as f:
+                f.write(orig)
+
+    def test_load_lexicon_refreshes_fingerprint(self):
+        """ADVICE r3: load_lexicon mutates the dict after import — the
+        'default' version entry must flip with it, or the catalog guard
+        compares a stale fingerprint."""
+        from gitlab_elasticsearch_indexer_spark.functions import analysis, kstem
+
+        before = analysis.ANALYZER_VERSIONS["default"]
+        token = "zzqfictitiousheadword"
+        assert token not in kstem._DICT
+        kstem.load_lexicon([token])
+        try:
+            after = analysis.ANALYZER_VERSIONS["default"]
+            assert after != before
+        finally:
+            kstem._DICT.discard(token)
+            kstem._cache.clear()
+            analysis.refresh_analyzer_versions()
+            assert analysis.ANALYZER_VERSIONS["default"] == before
+
 
 def _specials_pdf(spark):
     from gitlab_elasticsearch_indexer_spark.sources.pages import special_pages
