@@ -37,6 +37,11 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# --scaling only: build with positions+offsets payloads (the
+# index_options=offsets configuration the reference maps for project
+# fields, SURVEY.md §1.4) so BENCH.md can report the heavy shape's
+# N->4N efficiency, not just the docs+tf payload.
+POSITIONS = os.environ.get("SPARK_GRAFT_BENCH_POSITIONS", "") == "1"
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -136,7 +141,15 @@ def run_once(
                 shutil.rmtree(scaled_idx, ignore_errors=True)
         else:
             t0 = time.time()
-            build_index(spark, pages, index_dir, analyzer="simple", snapshot="s1")
+            build_index(
+                spark,
+                pages,
+                index_dir,
+                analyzer="simple",
+                snapshot="s1",
+                with_positions=POSITIONS,
+                with_offsets=POSITIONS,
+            )
             timings["index_build"] = round(time.time() - t0, 3)
 
         result = {
@@ -205,6 +218,7 @@ def main() -> None:
         print(json.dumps({
             "sf_dir": SF_DIR,
             "n_docs": out[n_hi]["n_docs"],
+            "index_options": "positions+offsets" if POSITIONS else "docs+tf",
             "cores_n": n_lo,
             "cores_4n": n_hi,
             f"docs_per_sec_{n_lo}": t_lo,

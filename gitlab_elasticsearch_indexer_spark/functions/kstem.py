@@ -12,10 +12,10 @@ stem is a dictionary headword — the defining property that makes KStem far
 more conservative (and rank-stable) than Porter-family stemmers.
 
 Divergence, documented: Lucene ships a ~30k-headword lexicon
-(KStemData1-8); this module embeds a curated subset of common English
-(~10k headwords as of round 4 — the exact count is ``len(_DICT)`` and is
-hashed into the catalog's analyzer-version fingerprint) and the same
-conservative fallbacks.  Consequences:
+(KStemData1-8); this module packages a curated lexicon of comparable
+scope (~22k headwords as of round 4 — the exact count is ``len(_DICT)``
+and is hashed into the catalog's analyzer-version fingerprint) and the
+same conservative fallbacks.  Consequences:
 
 - words COVERED by the embedded lexicon stem identically to Lucene KStem
   (golden-tested in tests/test_functions.py);
