@@ -13,7 +13,7 @@ more conservative (and rank-stable) than Porter-family stemmers.
 
 Divergence, documented: Lucene ships a ~30k-headword lexicon
 (KStemData1-8); this module packages a curated lexicon of comparable
-scope (~22k headwords as of round 4 — the exact count is ``len(_DICT)``
+scope (~30k headwords as of round 4 — the exact count is ``len(_DICT)``
 and is hashed into the catalog's analyzer-version fingerprint) and the
 same conservative fallbacks.  Consequences:
 

@@ -26,6 +26,11 @@ DENY = {
     "arrival", "informative", "creative", "supportive", "modernize",
     "photographic", "microscopic", "urgency", "effectiveness",
     "availability", "restrictive", "stability", "assessment",
+    # golden-conflation INTERMEDIATES: biological->_al->biologic would win
+    # over the documented biological->biology if 'biologic' were a headword
+    # ('historic' by contrast IS a headword: historical->historic is the
+    # documented output); 'writ' broke writer->write in r3 the same way
+    "biologic", "writ",
     # inflected golden sources
     "cars", "flies", "classes", "boxes", "churches", "wages", "heroes",
     "tables", "features", "walked", "agreed", "stopped", "tried", "hoped",
