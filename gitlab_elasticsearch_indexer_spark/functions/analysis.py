@@ -368,3 +368,43 @@ OFFSET_ANALYZERS: dict[str, Callable[[str], list[tuple[str, int, int]]]] = {
     "simple": analyze_simple_offsets,
     "default": analyze_default_offsets,
 }
+
+
+# Columnar twins of the offset analyzers: append (term, start, end) into
+# caller-owned flat lists and return the token count.  Same token stream as
+# the tuple-returning versions (asserted by tests), but the batch emitter
+# (udfs.offsets_occurrences) can hand the accumulated columns to Arrow as
+# three flat arrays instead of a per-row list<struct<..>> cell — the
+# per-token tuple→Arrow-struct conversion was the dominant cost of the
+# positions+offsets build shape (BENCH.md §2 round-4 block).
+def _simple_offsets_columnar(
+    text: str, terms: list, starts: list, ends: list
+) -> int:
+    n = 0
+    for m in _SIMPLE_CI_RE.finditer(text):
+        terms.append(m.group(0).lower())
+        starts.append(m.start())
+        ends.append(m.end())
+        n += 1
+    return n
+
+
+def _default_offsets_columnar(
+    text: str, terms: list, starts: list, ends: list
+) -> int:
+    from . import kstem
+
+    stem = kstem.stem
+    n = 0
+    for m in _UAX29_RE.finditer(text):
+        terms.append(stem(m.group(0).lower()))
+        starts.append(m.start())
+        ends.append(m.end())
+        n += 1
+    return n
+
+
+OFFSET_ANALYZERS_COLUMNAR: dict[str, Callable[[str, list, list, list], int]] = {
+    "simple": _simple_offsets_columnar,
+    "default": _default_offsets_columnar,
+}

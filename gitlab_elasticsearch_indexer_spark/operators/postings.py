@@ -101,10 +101,19 @@ def _encode_group(
     tfs: np.ndarray,
     dls: np.ndarray,
     avgdl: float,
-    pos_lists: list[np.ndarray] | None,
-    off_lists: list[tuple[np.ndarray, np.ndarray]] | None = None,
+    poss: np.ndarray | None = None,
+    starts_flat: np.ndarray | None = None,
+    ends_flat: np.ndarray | None = None,
+    occ_start: np.ndarray | None = None,
+    occ_end: np.ndarray | None = None,
 ) -> list[tuple]:
-    """One (tid, docid_range) posting group (already docid-sorted) → block rows."""
+    """One (tid, docid_range) posting group (already docid-sorted) → block rows.
+
+    Positions/offsets arrive as the partition's FLAT occurrence arrays plus
+    this group's per-posting [occ_start, occ_end) index spans — the encoders
+    vectorize over a whole block's occurrences at once instead of paying a
+    numpy slice + diff + concatenate per posting (the dominant kernel cost
+    of the positions+offsets shape; BENCH.md §2 round-4 block)."""
     tfn = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls / avgdl)))
     base = docid_range * DOCS_PER_RANGE
     rows = []
@@ -126,13 +135,22 @@ def _encode_group(
                 codec.encode_docids(d, base=base),
                 codec.encode_tfs(t.astype(np.int64)),
                 (
-                    codec.encode_positions(pos_lists[start : start + BLOCK_SIZE])
-                    if pos_lists is not None
+                    codec.encode_positions_block(
+                        poss,
+                        occ_start[start : start + BLOCK_SIZE],
+                        occ_end[start : start + BLOCK_SIZE],
+                    )
+                    if poss is not None
                     else None
                 ),
                 (
-                    codec.encode_offsets(off_lists[start : start + BLOCK_SIZE])
-                    if off_lists is not None
+                    codec.encode_offsets_block(
+                        starts_flat,
+                        ends_flat,
+                        occ_start[start : start + BLOCK_SIZE],
+                        occ_end[start : start + BLOCK_SIZE],
+                    )
+                    if starts_flat is not None
                     else None
                 ),
             )
@@ -182,15 +200,6 @@ def make_partition_kernel(
 
         rows: list[tuple] = []
         for gs, ge in zip(g_start, g_end):
-            pos_lists = None
-            if with_positions:
-                pos_lists = [poss[p_start[i] : p_end[i]] for i in range(gs, ge)]
-            off_lists = None
-            if with_offsets:
-                off_lists = [
-                    (starts_arr[p_start[i] : p_end[i]], ends_arr[p_start[i] : p_end[i]])
-                    for i in range(gs, ge)
-                ]
             rows.extend(
                 _encode_group(
                     int(p_tids[gs]),
@@ -199,8 +208,11 @@ def make_partition_kernel(
                     tf[gs:ge],
                     p_dls[gs:ge],
                     avgdl,
-                    pos_lists,
-                    off_lists,
+                    poss if with_positions else None,
+                    starts_arr if with_offsets else None,
+                    ends_arr if with_offsets else None,
+                    p_start[gs:ge] if (with_positions or with_offsets) else None,
+                    p_end[gs:ge] if (with_positions or with_offsets) else None,
                 )
             )
             if len(rows) >= 4096:  # bound Arrow batch size

@@ -69,19 +69,9 @@ def field_occurrences(
     if with_offsets:
         if extra_fields:
             raise ValueError("with_offsets supports the content field only")
-        from ..functions.udfs import make_offsets_tokenizer_udf
+        from ..functions.udfs import offsets_occurrences
 
-        offs = make_offsets_tokenizer_udf(analyzer)(F.col("content"))
-        return docs.select(
-            "docid", "dl", F.posexplode(offs).alias("pos", "t")
-        ).select(
-            "docid",
-            "dl",
-            "pos",
-            F.col("t.term").alias("term"),
-            F.col("t.start").alias("start"),
-            F.col("t.end").alias("end"),
-        )
+        return offsets_occurrences(docs, analyzer)
     toks = tokens_expr(analyzer)
     if with_positions:
         occ = docs.select("docid", "dl", F.posexplode(toks).alias("pos", "term"))

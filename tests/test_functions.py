@@ -341,6 +341,52 @@ class TestCodec:
         enc = codec.encode_docids(docids)
         assert np.array_equal(codec.decode_docids(enc, count=len(docids)), docids)
 
+    # The kernel now encodes positions/offsets from the partition's FLAT
+    # occurrence arrays (encode_*_block) — these must be BYTE-identical to
+    # the per-posting-list encoders so indexes built before/after the
+    # vectorization (and any mixed incremental chain) stay compatible.
+    @settings(max_examples=100, deadline=None)
+    @given(st.data())
+    def test_block_encoders_byte_identical(self, data):
+        rng_counts = data.draw(
+            st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=25)
+        )
+        counts = np.array(rng_counts, dtype=np.int64)
+        occ_end = np.cumsum(counts)
+        occ_start = occ_end - counts
+        total = int(occ_end[-1])
+        pos_vals = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=2**19),
+                min_size=total,
+                max_size=total,
+            )
+        )
+        poss = np.concatenate(
+            [
+                np.sort(np.array(pos_vals[s:e], dtype=np.int64))
+                for s, e in zip(occ_start, occ_end)
+            ]
+        )
+        starts = poss * 7  # any sorted-within-posting values
+        ends = starts + 1 + (poss % 13)
+        # simulate partition context: block arrays sit at an offset
+        pad = data.draw(st.integers(min_value=0, max_value=5))
+        padv = np.zeros(pad, dtype=np.int64)
+        assert codec.encode_positions_block(
+            np.concatenate([padv, poss]), occ_start + pad, occ_end + pad
+        ) == codec.encode_positions(
+            [poss[s:e] for s, e in zip(occ_start, occ_end)]
+        )
+        assert codec.encode_offsets_block(
+            np.concatenate([padv, starts]),
+            np.concatenate([padv, ends]),
+            occ_start + pad,
+            occ_end + pad,
+        ) == codec.encode_offsets(
+            [(starts[s:e], ends[s:e]) for s, e in zip(occ_start, occ_end)]
+        )
+
 
 class TestBM25:
     def test_idf_matches_formula(self):

@@ -681,6 +681,53 @@ class TestOffsetsAndHighlight:
         )
         return d
 
+    def test_flat_occurrences_equal_struct_udf_path(self, spark):
+        """The r4 flat mapInPandas occurrence emitter (udfs.offsets_occurrences)
+        must produce row-for-row the same (docid, dl, pos, term, start, end)
+        stream as the legacy Array<Struct> pandas UDF + posexplode it
+        replaced — the legacy UDF is kept precisely as this reference twin."""
+        from pyspark.sql import functions as F
+
+        from gitlab_elasticsearch_indexer_spark.functions.udfs import (
+            make_offsets_tokenizer_udf,
+            offsets_occurrences,
+        )
+
+        docs = (
+            pages_from_documents(spark, SF_SMALL)
+            .select(
+                F.col("doc_id").alias("docid"),
+                F.col("text").alias("content"),
+            )
+            .withColumn(
+                "dl",
+                F.size(
+                    F.filter(
+                        F.split(F.lower("content"), "[^a-z0-9]+"),
+                        lambda x: x != "",
+                    )
+                ).cast("int"),
+            )
+        )
+        for analyzer in ("simple", "default"):
+            offs = make_offsets_tokenizer_udf(analyzer)(F.col("content"))
+            legacy = (
+                docs.select("docid", "dl", F.posexplode(offs).alias("pos", "t"))
+                .select(
+                    "docid", "dl", "pos",
+                    F.col("t.term").alias("term"),
+                    F.col("t.start").alias("start"),
+                    F.col("t.end").alias("end"),
+                )
+            )
+            flat = offsets_occurrences(docs, analyzer)
+            a = legacy.toPandas().sort_values(["docid", "pos"]).reset_index(drop=True)
+            b = flat.toPandas().sort_values(["docid", "pos"]).reset_index(drop=True)
+            assert len(a) == len(b) and len(a) > 0
+            for col in ("docid", "dl", "pos", "start", "end"):
+                assert (a[col].to_numpy() == b[col].to_numpy()).all(), (analyzer, col)
+            assert (a["term"] == b["term"]).all(), analyzer
+
     def test_spans_match_regex_oracle(self, spark, offsets_idx):
         import re
 
