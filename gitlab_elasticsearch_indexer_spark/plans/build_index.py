@@ -53,6 +53,7 @@ def field_occurrences(
     with_positions: bool = False,
     extra_fields: dict[str, str] | None = None,
     with_offsets: bool = False,
+    stored_tokens: bool = False,
 ) -> DataFrame:
     """docs (with dl + dl_<field> columns) → token occurrences
     (docid, dl, term [, pos [, start, end]]) for the content field plus
@@ -61,6 +62,13 @@ def field_occurrences(
     Shared by the full build and incremental range rebuilds so both produce
     byte-identical segments for the same doc set (a rebuild that dropped
     positions or field occurrences would corrupt the index contract).
+
+    ``stored_tokens``: read pre-analyzed ``toks`` / ``toks_<field>`` array
+    columns instead of re-running the analyzer chains — the full build
+    materializes tokens ONCE (transient ``tokens_tmp`` table) so Python
+    analysis doesn't run twice per corpus (once for dl, once here); see
+    ``build_index``.  Token arrays are identical either way (same
+    ``tokens_expr``), so segments stay byte-identical.
 
     ``with_offsets`` (index_options=offsets, elastic/index.go:208-218)
     implies positions and is scoped to the content field — extra fields are
@@ -72,13 +80,17 @@ def field_occurrences(
         from ..functions.udfs import offsets_occurrences
 
         return offsets_occurrences(docs, analyzer)
-    toks = tokens_expr(analyzer)
+    toks = F.col("toks") if stored_tokens else tokens_expr(analyzer)
     if with_positions:
         occ = docs.select("docid", "dl", F.posexplode(toks).alias("pos", "term"))
     else:
         occ = docs.select("docid", "dl", F.explode(toks).alias("term"))
     for fld, fld_an in extra_fields.items():
-        fld_toks = tokens_expr(fld_an, text_col=fld)
+        fld_toks = (
+            F.col(f"toks_{fld}")
+            if stored_tokens
+            else tokens_expr(fld_an, text_col=fld)
+        )
         if with_positions:
             fld_occ = docs.select(
                 "docid",
@@ -124,19 +136,48 @@ def build_index(
     extra_fields = extra_fields or {}
     if with_offsets:
         with_positions = True  # Lucene: the offsets option includes positions
+    # Tokenize-once: Python-backed chains (everything but 'simple' — the
+    # default chain is UAX#29 + KStem inside one Arrow UDF) are the dominant
+    # CPU cost of a build; running the UDF twice per corpus (once for dl at
+    # docs-write, once for occurrences) doubles it.  For those chains the
+    # token arrays are materialized ONCE into a transient tokens_tmp table,
+    # dl is derived JVM-side (F.size) from the stored arrays, and the
+    # occurrence pass reads the arrays — a column-pruned scan that never
+    # touches `content` again.  The 'simple' chain stays on the re-analyze
+    # path: its codegen'd split is cheaper than the extra array IO
+    # (measured — see module docstring).  Offsets builds also re-analyze:
+    # offsets need the original string.
+    use_stored = analyzer != ANALYZER_SIMPLE and not with_offsets
     docs_src = build_docs(
         pages,
         project_id=project_id,
         docid_col=docid_col,
         detect_lang=detect_lang,
         with_prog_lang=with_prog_lang,
-    ).withColumn("dl", F.size(tokens_expr(analyzer)).cast("int"))
-    for fld, fld_an in extra_fields.items():
-        docs_src = docs_src.withColumn(
-            f"dl_{fld}", F.size(tokens_expr(fld_an, text_col=fld)).cast("int")
-        )
-
+    )
     sd = cat.snapshot_dir(index_dir, snapshot)
+    tok_cols: list[str] = []
+    if use_stored:
+        # one Arrow-UDF evaluation per chain per row, guaranteed
+        # structurally: toks is written WITHOUT dl, dl is F.size(toks) on
+        # the parquet re-read (no risk of Catalyst duplicating the UDF
+        # through a collapsed projection)
+        docs_src = docs_src.withColumn("toks", tokens_expr(analyzer))
+        tok_cols.append("toks")
+        for fld, fld_an in extra_fields.items():
+            docs_src = docs_src.withColumn(
+                f"toks_{fld}", tokens_expr(fld_an, text_col=fld)
+            )
+            tok_cols.append(f"toks_{fld}")
+    else:
+        docs_src = docs_src.withColumn(
+            "dl", F.size(tokens_expr(analyzer)).cast("int")
+        )
+        for fld, fld_an in extra_fields.items():
+            docs_src = docs_src.withColumn(
+                f"dl_{fld}", F.size(tokens_expr(fld_an, text_col=fld)).cast("int")
+            )
+
     range_expr = (F.col("docid") / F.lit(DOCS_PER_RANGE)).cast("long")
 
     # done ranges stay a DATAFRAME — at 10^12 docs the lineage has ~1.2e8
@@ -157,9 +198,25 @@ def build_index(
         except Exception:
             done_df = None
 
-    docs_src.write.mode("overwrite").parquet(f"{sd}/docs")
-    # all later passes read the parquet: Arrow UDFs ran exactly once
-    docs = spark.read.parquet(f"{sd}/docs")
+    if use_stored:
+        docs_src.write.mode("overwrite").parquet(f"{sd}/tokens_tmp")
+        tdf = spark.read.parquet(f"{sd}/tokens_tmp").withColumn(
+            "dl", F.size("toks").cast("int")
+        )
+        for fld in extra_fields:
+            tdf = tdf.withColumn(f"dl_{fld}", F.size(f"toks_{fld}").cast("int"))
+        # serving docs table = columnar copy minus the token arrays (content
+        # passes through untouched; the tokenizer UDF does NOT re-run)
+        tdf.drop(*tok_cols).write.mode("overwrite").parquet(f"{sd}/docs")
+        docs = spark.read.parquet(f"{sd}/docs")
+        # occurrence source: the stored arrays — column pruning drops
+        # `content` entirely from the posting-build scan
+        occ_docs = tdf.drop("content")
+    else:
+        docs_src.write.mode("overwrite").parquet(f"{sd}/docs")
+        # all later passes read the parquet: Arrow UDFs ran exactly once
+        docs = spark.read.parquet(f"{sd}/docs")
+        occ_docs = docs
 
     # collection stats: ONE scalar aggregate — the only thing the driver
     # ever holds (column-pruned scan of dl columns)
@@ -231,7 +288,8 @@ def build_index(
 
     def occurrences_for(batch_docs: DataFrame) -> DataFrame:
         return field_occurrences(
-            batch_docs, analyzer, with_positions, extra_fields, with_offsets
+            batch_docs, analyzer, with_positions, extra_fields, with_offsets,
+            stored_tokens=use_stored,
         )
 
     # Checkpointed, batched segment build (north rule O1/O7): docid_ranges
@@ -273,10 +331,10 @@ def build_index(
     ]
     for i in range(n_batches):
         if done_df is None and n_batches == 1:
-            batch_docs, batch_stats = docs, range_stats  # fast path: no filters
+            batch_docs, batch_stats = occ_docs, range_stats  # fast path
         else:
             in_batch = F.pmod(range_expr, F.lit(n_batches)) == i
-            batch_docs = docs.filter(in_batch)
+            batch_docs = occ_docs.filter(in_batch)
             batch_stats = range_stats.filter(
                 F.pmod(F.col("rng"), F.lit(n_batches)) == i
             )
@@ -313,6 +371,11 @@ def build_index(
         ).coalesce(1).write.mode("overwrite").parquet(f"{sd}/lineage")
     if done_df is not None:
         done_df.unpersist()
+    if use_stored:
+        # all segment + lineage batches are committed; the stored arrays
+        # have served their one read (a crash before this point just leaves
+        # the tmp dir for the resume run to overwrite)
+        shutil.rmtree(f"{sd}/tokens_tmp", ignore_errors=True)
 
     # term stats from block METADATA of the freshly written table — the scan
     # prunes the posting-bytes columns entirely (ReadSchema: term,n_docs,sum_tf)

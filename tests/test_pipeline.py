@@ -1220,3 +1220,47 @@ class TestMultiFieldChain:
         b = s2.search("mfc1", k=20, with_docs=False).toPandas()
         assert a["docid"].tolist() == b["docid"].tolist()
         assert a["score"].tolist() == pytest.approx(b["score"].tolist(), rel=1e-12)
+
+
+class TestStoredTokensIdentity:
+    """Tokenize-once (r4): Python-backed chains materialize token arrays
+    into a transient tokens_tmp table and the occurrence pass reads them
+    instead of re-running the Arrow UDF.  The contract is byte-identity:
+    a stored-tokens build and a forced re-analyze build over the same docs
+    must produce identical segments, term_stats, and catalog stats."""
+
+    def test_segments_identical_and_tmp_cleaned(self, spark, tmp_path, monkeypatch):
+        import gitlab_elasticsearch_indexer_spark.plans.build_index as bi
+
+        pages = pages_from_documents(spark, SF_SMALL)
+        kw = dict(
+            analyzer="default", snapshot="s1",
+            extra_fields={"url": "path", "file_name": "code"},
+        )
+        d_stored = str(tmp_path / "stored")
+        c1 = build_index(spark, pages, d_stored, **kw)
+        # stored path ran and cleaned up after itself
+        import os
+        sd = os.path.join(d_stored, "s1")
+        assert not os.path.exists(os.path.join(sd, "tokens_tmp"))
+        # docs table must not leak the transient array columns
+        dcols = spark.read.parquet(os.path.join(sd, "docs")).columns
+        assert not [c for c in dcols if c.startswith("toks")]
+
+        # force the re-analyze path by making the gate think offsets builds
+        # aren't eligible — simplest: monkeypatch ANALYZER_SIMPLE comparison
+        # via the module-level constant used in the gate
+        monkeypatch.setattr(bi, "ANALYZER_SIMPLE", "default")
+        d_plain = str(tmp_path / "plain")
+        c2 = build_index(spark, pages, d_plain, **kw)
+        monkeypatch.undo()
+
+        assert (c1.n_docs, c1.total_tokens, c1.avgdl) == (
+            c2.n_docs, c2.total_tokens, c2.avgdl
+        )
+        for tbl in ("segments", "term_stats"):
+            a = spark.read.parquet(f"{d_stored}/s1/{tbl}")
+            b = spark.read.parquet(f"{d_plain}/s1/{tbl}")
+            assert a.count() == b.count(), tbl
+            assert a.exceptAll(b).count() == 0, tbl
+            assert b.exceptAll(a).count() == 0, tbl
