@@ -1264,3 +1264,36 @@ class TestStoredTokensIdentity:
             assert a.count() == b.count(), tbl
             assert a.exceptAll(b).count() == 0, tbl
             assert b.exceptAll(a).count() == 0, tbl
+
+    def test_crash_resume_on_stored_path(self, spark, tmp_path):
+        """Crash/resume interacts with tokenize-once: the resume run rewrites
+        tokens_tmp (docs pass always re-runs), compacts segments down to
+        lineage-confirmed ranges via semi-join, and finishes from the stored
+        arrays.  Result must match an uninterrupted default-chain build."""
+        pages = pages_from_documents(spark, SF_SMALL).withColumn(
+            "doc_id", F.col("doc_id") * 8192
+        )
+        d_crash = str(tmp_path / "crash_idx")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            build_index(
+                spark, pages, d_crash, snapshot="s1", analyzer="default",
+                range_batches=4, _fail_after_batches=2,
+            )
+        assert not os.path.exists(os.path.join(d_crash, "current"))
+        build_index(
+            spark, pages, d_crash, snapshot="s1", analyzer="default",
+            range_batches=4, resume=True,
+        )
+        # tmp cleaned after the completed resume
+        assert not os.path.exists(os.path.join(d_crash, "s1", "tokens_tmp"))
+        d_fresh = str(tmp_path / "fresh_idx")
+        build_index(spark, pages, d_fresh, snapshot="s1", analyzer="default")
+        s1, s2 = Searcher(spark, d_crash), Searcher(spark, d_fresh)
+        for q in ["spark data queries", "tables", "customers merged"]:
+            a = s1.search(q, k=25, with_docs=False).toPandas()
+            b = s2.search(q, k=25, with_docs=False).toPandas()
+            assert a["docid"].tolist() == b["docid"].tolist(), q
+            assert a["score"].tolist() == pytest.approx(b["score"].tolist(), rel=1e-12)
+        seg = cat.read_table(spark, d_crash, "segments")
+        dec = decode_segments(seg).toPandas()
+        assert not dec.duplicated(subset=["term", "docid"]).any()
