@@ -42,6 +42,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # fields, SURVEY.md §1.4) so BENCH.md can report the heavy shape's
 # N->4N efficiency, not just the docs+tf payload.
 POSITIONS = os.environ.get("SPARK_GRAFT_BENCH_POSITIONS", "") == "1"
+# --scaling only: analyzer for the scaling build.  "simple" (default) is the
+# JVM-side fast path; "default" routes the UAX#29+KStem Arrow-UDF chain so
+# BENCH.md can show the Python-chain build scales too, not just codegen.
+ANALYZER = os.environ.get("SPARK_GRAFT_BENCH_ANALYZER", "simple")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -111,7 +115,11 @@ def run_once(
         warm_idx = tempfile.mkdtemp(prefix="ges_bench_warm_")
         try:
             build_index(
-                spark, pages.limit(200), warm_idx, analyzer="simple", snapshot="w"
+                spark,
+                pages.limit(200),
+                warm_idx,
+                analyzer=ANALYZER if not keep_queries else "simple",
+                snapshot="w",
             )
         finally:
             shutil.rmtree(warm_idx, ignore_errors=True)
@@ -145,7 +153,7 @@ def run_once(
                 spark,
                 pages,
                 index_dir,
-                analyzer="simple",
+                analyzer=ANALYZER,
                 snapshot="s1",
                 with_positions=POSITIONS,
                 with_offsets=POSITIONS,
@@ -219,6 +227,7 @@ def main() -> None:
             "sf_dir": SF_DIR,
             "n_docs": out[n_hi]["n_docs"],
             "index_options": "positions+offsets" if POSITIONS else "docs+tf",
+            "analyzer": ANALYZER,
             "cores_n": n_lo,
             "cores_4n": n_hi,
             f"docs_per_sec_{n_lo}": t_lo,
