@@ -158,19 +158,33 @@ def _encode_group(
     return rows
 
 
+# Rows buffered in the kernel before a flush of complete groups.  The old
+# kernel held the WHOLE shuffle partition (list(batches) + concat): at a
+# 2M-doc offsets build that was ~14M rows × 4 concurrent workers of pandas
+# churn (measured 5.1 GB worker RSS and the stage going 2× superlinear).
+# Streaming in ~2M-row chunks keeps each worker at a bounded ~100-200 MB
+# regardless of partition size — the property that must hold at 10^12 docs.
+_KERNEL_CHUNK_ROWS = 2_000_000
+
+
 def make_partition_kernel(
     avgdl: float, with_positions: bool = False, with_offsets: bool = False
 ):
     """mapInPandas kernel over a partition sorted by (tid, docid [, pos]):
-    run-length tf + block encoding, int64 numpy end to end."""
+    run-length tf + block encoding, int64 numpy end to end.
 
-    def build_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = list(batches)  # one partition's worth; groups are contiguous
-        if not parts:
-            return
-        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-        if len(pdf) == 0:
-            return
+    Streams the partition in bounded chunks: complete (tid, docid_range)
+    groups are encoded and flushed as soon as ~_KERNEL_CHUNK_ROWS are
+    buffered; only the trailing incomplete group carries over to the next
+    chunk (group contiguity is guaranteed by the exchange + partition-local
+    sort).  Worker memory is O(chunk), not O(partition)."""
+
+    def encode_chunk(
+        pdf: pd.DataFrame, final: bool, rows: list
+    ) -> tuple[pd.DataFrame | None, Iterator[pd.DataFrame]]:
+        """Encode all COMPLETE groups in pdf into `rows`; return the
+        leftover tail (the last, possibly-incomplete group) unless final."""
+        out: list[pd.DataFrame] = []
         tids = pdf["tid"].to_numpy(dtype=np.int64)
         packed = pdf["pd"].to_numpy(dtype=np.int64)
         docids = packed >> DL_BITS
@@ -198,7 +212,20 @@ def make_partition_kernel(
         g_start = np.nonzero(new_group)[0]
         g_end = np.append(g_start[1:], len(p_start))
 
-        rows: list[tuple] = []
+        tail: pd.DataFrame | None = None
+        n_groups = len(g_start)
+        if not final and n_groups > 0:
+            # retain the last group — its remaining rows may arrive in the
+            # next Arrow batch; if the buffer is a single giant group, no
+            # flush is possible yet and the whole pdf carries over
+            tail_row0 = int(p_start[g_start[-1]])
+            if n_groups == 1:
+                return pdf, iter(out)
+            # .copy() so the retained tail doesn't pin the whole chunk's
+            # block memory through the next iteration
+            tail = pdf.iloc[tail_row0:].copy()
+            g_start, g_end = g_start[:-1], g_end[:-1]
+
         for gs, ge in zip(g_start, g_end):
             rows.extend(
                 _encode_group(
@@ -216,22 +243,70 @@ def make_partition_kernel(
                 )
             )
             if len(rows) >= 4096:  # bound Arrow batch size
-                yield pd.DataFrame(rows, columns=_KERNEL_COLS)
-                rows = []
+                out.append(pd.DataFrame(rows, columns=_KERNEL_COLS))
+                rows.clear()
+        return tail, iter(out)
+
+    def build_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend: list[pd.DataFrame] = []
+        pend_rows = 0
+        next_flush = _KERNEL_CHUNK_ROWS
+        rows: list[tuple] = []
+        for b in batches:
+            if len(b) == 0:
+                continue
+            pend.append(b)
+            pend_rows += len(b)
+            if pend_rows >= next_flush:
+                pdf = pend[0] if len(pend) == 1 else pd.concat(pend, ignore_index=True)
+                tail, out = encode_chunk(pdf, final=False, rows=rows)
+                yield from out
+                pend = [tail] if tail is not None and len(tail) else []
+                pend_rows = len(pend[0]) if pend else 0
+                # a buffer that is ONE giant group can't flush yet — grow the
+                # trigger so the re-scan stays amortized O(n), not O(n²)
+                next_flush = (
+                    pend_rows + _KERNEL_CHUNK_ROWS
+                    if pend_rows >= next_flush
+                    else _KERNEL_CHUNK_ROWS
+                )
+        if pend:
+            pdf = pend[0] if len(pend) == 1 else pd.concat(pend, ignore_index=True)
+            if len(pdf):
+                _, out = encode_chunk(pdf, final=True, rows=rows)
+                yield from out
         if rows:
             yield pd.DataFrame(rows, columns=_KERNEL_COLS)
 
     return build_blocks
 
 
+# Target occurrence rows per exchange partition: sized so one task's
+# partition-local sort stays inside its execution-memory share instead of
+# spilling (measured: 8 partitions × 14M rows at a 2M-doc offsets build
+# spilled 4.2 GB and the sort+kernel stage went 2× superlinear; ~4M-row
+# tasks sort in memory).  The heavy shape carries ~2.5× the bytes per row,
+# so its target is proportionally smaller.  At 10^12 docs this yields ~10^7
+# partitions of bounded size — the cluster-correct shape (AQE cannot split
+# an explicit repartition, so the count must be right at plan time).
+OCC_ROWS_PER_PARTITION = 6_000_000
+OCC_ROWS_PER_PARTITION_HEAVY = 2_500_000
+
+
 def occurrence_stream(
     occurrences: DataFrame,
     with_positions: bool = False,
     with_offsets: bool = False,
+    est_occurrences: int | None = None,
 ) -> DataFrame:
     """The pre-kernel numeric stream: the ONE corpus-wide exchange, exactly
     as the production build runs it (also audited verbatim by
-    tools/explain_audit.py — keep them one code path)."""
+    tools/explain_audit.py — keep them one code path).
+
+    ``est_occurrences`` (when the caller knows it — build_index computes the
+    exact token total for avgdl anyway) sizes the exchange so per-task sorts
+    fit in memory; without it the session's shuffle-partition default rules.
+    """
     cols = [
         pack_docid_dl(F.col("docid"), F.col("dl")).alias("pd"),
         F.xxhash64("term").alias("tid"),
@@ -247,7 +322,19 @@ def occurrence_stream(
         F.shiftright(F.col("pd"), DL_BITS) / F.lit(DOCS_PER_RANGE)
     ).cast("long")
     sort_cols = ["tid", "pd"] + (["pos"] if with_positions else [])
-    return num.repartition(F.col("tid"), range_expr).sortWithinPartitions(*sort_cols)
+    part_args: list = [F.col("tid"), range_expr]
+    if est_occurrences:
+        target = (
+            OCC_ROWS_PER_PARTITION_HEAVY
+            if (with_positions or with_offsets)
+            else OCC_ROWS_PER_PARTITION
+        )
+        default_parts = int(
+            occurrences.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        n_parts = max(default_parts, -(-est_occurrences // target))
+        part_args = [n_parts] + part_args
+    return num.repartition(*part_args).sortWithinPartitions(*sort_cols)
 
 
 def term_dictionary(occurrences: DataFrame) -> DataFrame:
@@ -265,6 +352,7 @@ def build_segments(
     avgdl: float,
     with_positions: bool = False,
     with_offsets: bool = False,
+    est_occurrences: int | None = None,
 ) -> DataFrame:
     """Token occurrences (docid, term, dl [, pos [, start, end]]) → SEGMENTS.
 
@@ -285,7 +373,9 @@ def build_segments(
             "rebuild with a secondary hash"
         )
 
-    part = occurrence_stream(occurrences, with_positions, with_offsets)
+    part = occurrence_stream(
+        occurrences, with_positions, with_offsets, est_occurrences
+    )
     blocks = part.mapInPandas(
         make_partition_kernel(avgdl, with_positions, with_offsets),
         schema=_KERNEL_SCHEMA,

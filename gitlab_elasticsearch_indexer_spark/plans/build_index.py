@@ -321,6 +321,14 @@ def build_index(
             os.rename(f"{sd}/segments_compact", f"{sd}/segments")
 
     n_batches = max(1, range_batches)
+    # exact occurrence count (content + extra-field tokens) — sizes the
+    # posting exchange so per-task sorts stay in memory (operators/postings
+    # OCC_ROWS_PER_PARTITION); per-batch share since each batch is its own
+    # exchange
+    _est_occ_total = total_tokens + sum(
+        int(agg_row[f"n_tokens_{fld}"] or 0) for fld in extra_fields
+    )
+    est_occ_per_batch = _est_occ_total // n_batches if _est_occ_total else None
     lineage_cols = [
         F.col("rng").cast("string").alias("partition_key"),
         F.lit(None).cast("string").alias("from_snapshot"),
@@ -345,9 +353,21 @@ def build_index(
                     "left_anti",
                 )
                 batch_stats = batch_stats.join(done_df, "rng", "left_anti")
+        occ_src = occurrences_for(batch_docs)
+        if with_offsets:
+            # offsets builds source occurrences from the Python emitter
+            # (offsets_occurrences) — build_segments consumes the stream
+            # twice (term-dictionary pass + the exchange), which would run
+            # the per-token Python chain twice per corpus.  Stage it to a
+            # transient parquet once: both passes become column-pruned
+            # columnar scans (the same tokenize-once idea tokens_tmp applies
+            # to positions-only Python chains).
+            occ_src.write.mode("overwrite").parquet(f"{sd}/occ_tmp")
+            occ_src = spark.read.parquet(f"{sd}/occ_tmp")
         segments = build_segments(
-            occurrences_for(batch_docs), avgdl=avgdl,
+            occ_src, avgdl=avgdl,
             with_positions=with_positions, with_offsets=with_offsets,
+            est_occurrences=est_occ_per_batch,
         )
         mode = "append" if (done_df is not None or i > 0) else "overwrite"
         # cluster block rows by bucket first: without this every write task
@@ -376,6 +396,8 @@ def build_index(
         # have served their one read (a crash before this point just leaves
         # the tmp dir for the resume run to overwrite)
         shutil.rmtree(f"{sd}/tokens_tmp", ignore_errors=True)
+    if with_offsets:
+        shutil.rmtree(f"{sd}/occ_tmp", ignore_errors=True)
 
     # term stats from block METADATA of the freshly written table — the scan
     # prunes the posting-bytes columns entirely (ReadSchema: term,n_docs,sum_tf)

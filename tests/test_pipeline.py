@@ -206,6 +206,73 @@ class TestDocidDlPack:
             assert r["pd"] > 0 or r["docid"] == 0  # no sign-bit overflow
 
 
+class TestStreamingKernel:
+    """The partition kernel streams bounded chunks (worker memory O(chunk),
+    not O(partition)); its output must be invariant to WHERE the Arrow batch
+    and chunk boundaries fall — including boundaries inside a posting run
+    and inside a (tid, docid_range) group, and a group bigger than the chunk
+    size."""
+
+    @staticmethod
+    def _occurrences():
+        import numpy as np
+
+        from gitlab_elasticsearch_indexer_spark.operators.postings import (
+            DOCS_PER_RANGE,
+            pack_docid_dl,  # noqa: F401 (documenting the layout source)
+        )
+
+        rng = np.random.RandomState(7)
+        rows = []
+        # head term spanning two ranges + several tail terms, varied tf
+        for tid in (11, 22, 33):
+            for docid in sorted(
+                rng.choice(np.arange(0, 3 * DOCS_PER_RANGE, 17), 40, replace=False)
+            ):
+                tf = int(rng.randint(1, 6))
+                dl = int(rng.randint(5, 400))
+                for pos in range(tf):
+                    rows.append((tid, int(docid), dl, pos))
+        rows.sort()  # (tid, docid, _, pos) — the exchange's sort order
+        import pandas as pd_  # local alias; test file may shadow pd
+
+        return pd_.DataFrame(
+            {
+                "pd": [(d << 20) | dl for (_, d, dl, _) in rows],
+                "tid": [t for (t, _, _, _) in rows],
+                "pos": [p for (_, _, _, p) in rows],
+            }
+        )
+
+    def _run(self, pdf, batch_rows, chunk_rows, monkeypatch):
+        import pandas as pd_
+
+        from gitlab_elasticsearch_indexer_spark.operators import postings
+
+        monkeypatch.setattr(postings, "_KERNEL_CHUNK_ROWS", chunk_rows)
+        kernel = postings.make_partition_kernel(100.0, with_positions=True)
+        batches = [
+            pdf.iloc[i : i + batch_rows].reset_index(drop=True)
+            for i in range(0, len(pdf), batch_rows)
+        ]
+        out = list(kernel(iter(batches)))
+        res = pd_.concat(out, ignore_index=True) if out else pd_.DataFrame()
+        return res.sort_values(["tid", "docid_range", "block_idx"]).reset_index(
+            drop=True
+        )
+
+    def test_chunk_and_batch_invariance(self, monkeypatch):
+        pdf = self._occurrences()
+        ref = self._run(pdf, batch_rows=len(pdf), chunk_rows=10**9, monkeypatch=monkeypatch)
+        assert len(ref) > 3  # multiple groups actually exercised
+        for batch_rows, chunk_rows in [(7, 50), (64, 64), (13, 10**9), (len(pdf), 50)]:
+            got = self._run(pdf, batch_rows, chunk_rows, monkeypatch)
+            assert len(got) == len(ref), (batch_rows, chunk_rows)
+            for col in ref.columns:
+                a, b = ref[col].to_numpy(), got[col].to_numpy()
+                assert (a == b).all(), (col, batch_rows, chunk_rows)
+
+
 class TestCorpusPrep:
     """plans/corpus_prep: the composed LLM-training-data pipeline (quality
     gate → langid gate → exact dedup → LSH near-dup dedup → token budget)
