@@ -245,6 +245,16 @@ def analyze_minimal(text: str) -> list[str]:
     return [light_english_stem(t.lower()) for t in _UAX29_RE.findall(text)]
 
 
+def analyze_standard(text: str) -> list[str]:
+    """ES built-in ``standard`` analyzer: standard (UAX#29) tokenizer +
+    lowercase, no stemmer — the ES default analyzer for text fields when a
+    mapping names none.  Also the chain the driver's UAX#29-differentiating
+    oracle entry runs (ft_bm25_uax29_topk): with no stemmer in the chain,
+    the token stream is a pure function of the tokenizer, so a hash match
+    certifies the word-boundary rules themselves."""
+    return [t.lower() for t in _UAX29_RE.findall(text)]
+
+
 def analyze_simple(text: str) -> list[str]:
     return _SIMPLE_RE.findall(text.lower())
 
@@ -271,6 +281,7 @@ def analyze_ngram(text: str) -> list[str]:
 ANALYZERS: dict[str, Callable[[str], list[str]]] = {
     "default": analyze_default,
     "minimal_english": analyze_minimal,
+    "standard": analyze_standard,
     "simple": analyze_simple,
     "code": analyze_code,
     "path": analyze_path,
@@ -303,6 +314,7 @@ ANALYZER_VERSIONS: dict[str, str] = {
     # changed, so both standard-tokenizer chains bumped
     "default": f"uax29-lower-kstem-{_kstem_lexicon_fingerprint()}",
     "minimal_english": "uax29-lower-minimal-2",
+    "standard": "uax29-lower-1",
     "simple": "lower-alnum-1",
     "code": "ws-wdg-fold-edge2.40-2",  # v2: Lucene fold table beyond NFKD
     "path": "pathrev-fold-2",          # v2: Lucene fold table beyond NFKD

@@ -329,10 +329,15 @@ def occurrence_stream(
             if (with_positions or with_offsets)
             else OCC_ROWS_PER_PARTITION
         )
-        default_parts = int(
-            occurrences.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        n_parts = max(default_parts, -(-est_occurrences // target))
+        # the conf may be non-numeric on some platforms ("auto" under
+        # Databricks AQE auto-optimized shuffle) — fall back to the sized
+        # count alone rather than failing every est_occurrences build
+        raw = occurrences.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            default_parts = int(raw)
+        except (TypeError, ValueError):
+            default_parts = 0
+        n_parts = max(default_parts, -(-est_occurrences // target), 1)
         part_args = [n_parts] + part_args
     return num.repartition(*part_args).sortWithinPartitions(*sort_cols)
 

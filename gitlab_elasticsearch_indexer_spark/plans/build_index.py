@@ -329,6 +329,27 @@ def build_index(
         int(agg_row[f"n_tokens_{fld}"] or 0) for fld in extra_fields
     )
     est_occ_per_batch = _est_occ_total // n_batches if _est_occ_total else None
+    # Batched builds: an even split of the total can undersize a skewed
+    # batch (rng-mod-B skew, or resume excluding done ranges from the work
+    # but not the estimate) and reintroduce the sort spill the sizing
+    # exists to prevent.  Derive EXACT per-batch content-token totals from
+    # range_stats (one extra dl-pruned scan, B bounded rows collected),
+    # scaled by the extra-field share, so each batch's exchange is sized
+    # for the rows it actually carries.
+    batch_occ: dict[int, int] = {}
+    if _est_occ_total and n_batches > 1:
+        _stats_src = (
+            range_stats.join(done_df, "rng", "left_anti")
+            if done_df is not None
+            else range_stats
+        )
+        _scale = _est_occ_total / total_tokens if total_tokens else 1.0
+        for row in (
+            _stats_src.groupBy(F.pmod(F.col("rng"), F.lit(n_batches)).alias("b"))
+            .agg(F.sum("rng_tokens").alias("t"))
+            .collect()
+        ):
+            batch_occ[int(row["b"])] = int((row["t"] or 0) * _scale)
     lineage_cols = [
         F.col("rng").cast("string").alias("partition_key"),
         F.lit(None).cast("string").alias("from_snapshot"),
@@ -367,7 +388,7 @@ def build_index(
         segments = build_segments(
             occ_src, avgdl=avgdl,
             with_positions=with_positions, with_offsets=with_offsets,
-            est_occurrences=est_occ_per_batch,
+            est_occurrences=batch_occ.get(i, est_occ_per_batch),
         )
         mode = "append" if (done_df is not None or i > 0) else "overwrite"
         # cluster block rows by bucket first: without this every write task

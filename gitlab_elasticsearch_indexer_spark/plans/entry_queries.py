@@ -148,6 +148,10 @@ def _index_for(
             from ..sources.pages import pages_pluralized
 
             pages = pages_pluralized(spark, sf_dir)
+        elif source == "uax29":
+            from ..sources.pages import pages_uax29
+
+            pages = pages_uax29(spark, sf_dir)
         else:
             pages = pages_from_documents(spark, sf_dir)
         build_index(
@@ -2151,6 +2155,115 @@ consts AS (
          (SELECT avg(dl) FROM dl) AS avgdl
 ),
 qterms AS (SELECT unnest([{", ".join(f"'{t}'" for t in _Q_MINIMAL)}]) AS term),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id AS docid,
+         sum(
+           ln(1 + (consts.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / consts.avgdl))
+         ) AS raw
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN consts
+  GROUP BY tf.doc_id
+)
+SELECT docid, round(raw, 4) AS score
+FROM scored
+ORDER BY round(raw, 4) DESC, docid ASC
+LIMIT 10
+""",
+)
+
+
+# --- uax29_tokens / ft_bm25_uax29_topk: the UAX#29 standard tokenizer (A1)
+# hash-checked by the driver on a corpus where it actually DIVERGES from the
+# old [^\W_]+ approximation (sources/pages.pages_uax29: contractions,
+# MidNum decimals/thousand separators, ExtendNumLet underscores, dotted
+# acronyms).  Chain = ES built-in `standard` analyzer (UAX#29 + lowercase,
+# no stemmer), so the hash certifies the word-boundary rules themselves:
+# under the pre-r4 tokenizer every appended token splits differently →
+# different positions/dl/df/tf → both hashes fail.  Oracle tokenizer is the
+# RE2-safe consuming pattern, exact on this corpus (see
+# sources/pages.UAX29_ORACLE_TOKEN_RE).  Reference: standard tokenizer in
+# the mapping, elastic/index.go:30-36.
+from ..sources.pages import UAX29_TEXT_SQL, UAX29_ORACLE_TOKEN_RE
+
+
+def _uax29_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import make_tokenizer_udf
+    from ..sources.pages import pages_uax29
+
+    tok = make_tokenizer_udf("standard")
+    return (
+        pages_uax29(spark, sf_dir)
+        .filter(F.col("doc_id") < 25)
+        .select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.posexplode(tok(F.col("text"))).alias("pos", "token"),
+        )
+        .select("docid", F.col("pos").cast("int").alias("pos"), "token")
+    )
+
+
+register(
+    "uax29_tokens",
+    _uax29_tokens,
+    f"""
+WITH p AS (
+  SELECT doc_id, {UAX29_TEXT_SQL} AS text FROM documents WHERE doc_id < 25
+),
+arr AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{UAX29_ORACLE_TOKEN_RE}') AS toks
+  FROM p
+)
+SELECT CAST(doc_id AS BIGINT) AS docid,
+       CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+       unnest(toks) AS token
+FROM arr
+""",
+)
+
+
+def _ft_bm25_uax29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir, analyzer="standard", source="uax29")
+    hits = s.search("don't foo_bar u.s.a", k=60, mode="blockmax", with_docs=False)
+    return (
+        hits.select("docid", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+
+
+register(
+    "ft_bm25_uax29_topk",
+    _ft_bm25_uax29,
+    f"""
+WITH p AS (
+  SELECT doc_id, {UAX29_TEXT_SQL} AS text FROM documents
+),
+toks AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{UAX29_ORACLE_TOKEN_RE}')) AS term
+    FROM p
+  ) WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT d.doc_id, CAST(coalesce(c.dl, 0) AS INT) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id) c USING (doc_id)
+),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+qterms AS (SELECT unnest(['don''t', 'foo_bar', 'u.s.a']) AS term),
 dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id AS docid,

@@ -96,6 +96,92 @@ def pages_pluralized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of pages_uax29's text derivation (kept adjacent so the two
+# stay in lockstep; entry_queries interpolates it into the oracle SQL).
+UAX29_TEXT_SQL = (
+    "text || ' ' || ['don''t','can''t','won''t','o''clock','isn''t']"
+    "[CAST(doc_id % 5 AS INT) + 1]"
+    " || ' ' || CAST(doc_id % 7 AS VARCHAR) || '.' || CAST(doc_id % 13 AS VARCHAR)"
+    " || ' 1,' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || ' ' || ['foo_bar','max_len','tmp_dir'][CAST(doc_id % 3 AS INT) + 1]"
+    " || ' ' || ['u.s.a','e.g','i.e','a.b.c'][CAST(doc_id % 4 AS INT) + 1]"
+)
+
+# RE2-compatible tokenizer (DuckDB regexp_extract_all) that is EXACT for
+# the pages_uax29 corpus: word runs (letters/digits/_, so ExtendNumLet
+# underscore joins) extended by consuming a MidLetter/MidNumLet/MidNum
+# joiner plus the following run.  RE2 has no lookaround, so the pattern
+# cannot check the neighbor CLASS of a joiner the way the engine's
+# _UAX29_RE does (`3.x` must split, `don't` must join) — the corpus is
+# constructed so no cross-class joiner sequence ever occurs, which makes
+# the simplified pattern tokenize identically to UAX#29 on this data.
+# (Apostrophe pre-doubled: the constant is interpolated inside a
+# single-quoted SQL string literal.)
+UAX29_ORACLE_TOKEN_RE = "[a-z0-9_]+(?:[''.,][a-z0-9_]+)*"
+
+
+def pages_uax29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose content appends UAX#29-divergent tokens — contractions
+    (``don't``), decimal/thousand-separated numerics (``3.14``, ``1,042``),
+    ExtendNumLet underscore joins (``foo_bar``), and dotted acronyms
+    (``u.s.a``) — each picked deterministically by ``doc_id`` residues so
+    term df/tf vary across the corpus.
+
+    Why this corpus exists: the base driver corpus is pure ``[a-z ]`` text,
+    on which the UAX#29 standard tokenizer and the old ``[^\\W_]+``
+    approximation produce IDENTICAL streams — an oracle over it can never
+    catch an A1 regression.  Here every appended token tokenizes
+    differently under the two (``don't`` → [don't] vs [don, t]; ``1,042``
+    → [1,042] vs [1, 042]; ``foo_bar`` → [foo_bar] vs [foo, bar]), so dl,
+    df, tf and therefore every BM25 hash diverge if the word-boundary
+    rules regress.  Reference: standard tokenizer in the mapping,
+    elastic/index.go:30-36."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    contr = F.element_at(
+        F.array(*[F.lit(x) for x in ("don't", "can't", "won't", "o'clock", "isn't")]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    under = F.element_at(
+        F.array(*[F.lit(x) for x in ("foo_bar", "max_len", "tmp_dir")]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    acro = F.element_at(
+        F.array(*[F.lit(x) for x in ("u.s.a", "e.g", "i.e", "a.b.c")]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        contr,
+        F.lit(" "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(" 1,"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" "),
+        under,
+        F.lit(" "),
+        acro,
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://example.com/"),
+            F.col("source"),
+            F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+        F.encode(text2, "UTF-8").alias("html"),
+        text2.alias("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
 def special_pages(spark: SparkSession, base_docid: int = 10_000_000) -> DataFrame:
     """FIXTURES.md §1 special row classes, deterministic, for golden tests.
 

@@ -189,6 +189,37 @@ class TestAnalyzers:
         for text, want in cases.items():
             assert analysis.analyze_minimal(text) == want, text
 
+    def test_standard_analyzer_and_uax29_oracle_pattern(self):
+        """ES built-in `standard` analyzer (UAX#29 + lowercase, no stem) —
+        the chain behind the driver's A1-differentiating entries.  Also pins
+        the RE2-safe consuming pattern the DuckDB oracle tokenizes with
+        (sources/pages.UAX29_ORACLE_TOKEN_RE): it must agree with the engine
+        on every token class pages_uax29 emits, and DISAGREE with the old
+        [^\\W_]+ approximation on all of them (the red-if-regressed
+        property)."""
+        import re
+
+        from gitlab_elasticsearch_indexer_spark.sources.pages import (
+            UAX29_ORACLE_TOKEN_RE,
+        )
+
+        cases = {
+            "don't o'clock isn't": ["don't", "o'clock", "isn't"],
+            "3.14 1,042 0.12": ["3.14", "1,042", "0.12"],
+            "foo_bar max_len tmp_dir": ["foo_bar", "max_len", "tmp_dir"],
+            "u.s.a e.g i.e a.b.c": ["u.s.a", "e.g", "i.e", "a.b.c"],
+            "key agg row scan": ["key", "agg", "row", "scan"],
+        }
+        oracle_re = re.compile(UAX29_ORACLE_TOKEN_RE.replace("''", "'"))
+        old_re = re.compile(r"[^\W_]+", re.UNICODE)
+        for text, want in cases.items():
+            got = analysis.analyze_standard(text)
+            assert got == want, text
+            assert oracle_re.findall(text.lower()) == want, text
+            old = [t.lower() for t in old_re.findall(text)]
+            if text != "key agg row scan":  # plain words: no divergence
+                assert old != want, (text, "old approximation should diverge")
+
     def test_offset_and_plain_chains_tokenize_identically(self):
         """Both paths tokenize the ORIGINAL string then lower per token —
         a build with offsets and a query without them must produce the same

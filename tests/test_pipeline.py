@@ -214,7 +214,7 @@ class TestStreamingKernel:
     size."""
 
     @staticmethod
-    def _occurrences():
+    def _occurrences(with_offsets: bool = False):
         import numpy as np
 
         from gitlab_elasticsearch_indexer_spark.operators.postings import (
@@ -236,21 +236,27 @@ class TestStreamingKernel:
         rows.sort()  # (tid, docid, _, pos) — the exchange's sort order
         import pandas as pd_  # local alias; test file may shadow pd
 
-        return pd_.DataFrame(
-            {
-                "pd": [(d << 20) | dl for (_, d, dl, _) in rows],
-                "tid": [t for (t, _, _, _) in rows],
-                "pos": [p for (_, _, _, p) in rows],
-            }
-        )
+        cols = {
+            "pd": [(d << 20) | dl for (_, d, dl, _) in rows],
+            "tid": [t for (t, _, _, _) in rows],
+            "pos": [p for (_, _, _, p) in rows],
+        }
+        if with_offsets:
+            # deterministic char spans, distinct per occurrence so a
+            # boundary-crossing slice error shows up in the offsets payload
+            cols["start"] = [7 * p + (d % 5) for (_, d, _, p) in rows]
+            cols["end"] = [7 * p + (d % 5) + 4 for (_, d, _, p) in rows]
+        return pd_.DataFrame(cols)
 
-    def _run(self, pdf, batch_rows, chunk_rows, monkeypatch):
+    def _run(self, pdf, batch_rows, chunk_rows, monkeypatch, with_offsets=False):
         import pandas as pd_
 
         from gitlab_elasticsearch_indexer_spark.operators import postings
 
         monkeypatch.setattr(postings, "_KERNEL_CHUNK_ROWS", chunk_rows)
-        kernel = postings.make_partition_kernel(100.0, with_positions=True)
+        kernel = postings.make_partition_kernel(
+            100.0, with_positions=True, with_offsets=with_offsets
+        )
         batches = [
             pdf.iloc[i : i + batch_rows].reset_index(drop=True)
             for i in range(0, len(pdf), batch_rows)
@@ -261,12 +267,20 @@ class TestStreamingKernel:
             drop=True
         )
 
-    def test_chunk_and_batch_invariance(self, monkeypatch):
-        pdf = self._occurrences()
-        ref = self._run(pdf, batch_rows=len(pdf), chunk_rows=10**9, monkeypatch=monkeypatch)
+    @pytest.mark.parametrize("with_offsets", [False, True])
+    def test_chunk_and_batch_invariance(self, monkeypatch, with_offsets):
+        pdf = self._occurrences(with_offsets)
+        ref = self._run(
+            pdf, batch_rows=len(pdf), chunk_rows=10**9,
+            monkeypatch=monkeypatch, with_offsets=with_offsets,
+        )
         assert len(ref) > 3  # multiple groups actually exercised
+        if with_offsets:
+            assert ref["offsets_enc"].map(lambda b: len(b or b"")).sum() > 0
         for batch_rows, chunk_rows in [(7, 50), (64, 64), (13, 10**9), (len(pdf), 50)]:
-            got = self._run(pdf, batch_rows, chunk_rows, monkeypatch)
+            got = self._run(
+                pdf, batch_rows, chunk_rows, monkeypatch, with_offsets=with_offsets
+            )
             assert len(got) == len(ref), (batch_rows, chunk_rows)
             for col in ref.columns:
                 a, b = ref[col].to_numpy(), got[col].to_numpy()
