@@ -3,15 +3,21 @@ reference's blob Language field (indexer/blob.go:116-127: enry.GetLanguage
 (filename, data), default "Text"; goldens indexer/blob_test.go:71-84:
 "Makefile.am" → "Makefile", "foo.rb" → "Ruby").
 
-enry's full detector chains filename → extension → shebang → content
-classifier; the filename and extension stages decide the overwhelming
-majority of real repositories and are exactly expressible as ONE pure-JVM
-CASE expression (zero Python, folds into whole-stage codegen).  The content
-classifier stage is out of scope for the webtext payload — `defaultLanguage`
-("Text") is the fallback, as in the reference.
+enry's full detector chains modeline → filename → shebang → extension →
+content classifier.  Every stage but the last is exactly expressible as ONE
+pure-JVM CASE expression (zero Python, folds into whole-stage codegen); the
+trailing content stage — enry's token naive-Bayes (classifier.go) — is a
+hand-rolled weighted-keyword Bayes analog over ~20 languages' published
+keyword sets (``classify_content``), run as an Arrow pandas UDF ONLY on the
+rows every JVM stage left unresolved (extensionless, shebang-less,
+modeline-less), null-gated JVM-side so resolved rows ship nothing across
+Arrow.  `defaultLanguage` ("Text") remains the final fallback, as in the
+reference.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -117,11 +123,19 @@ _MODELINE_MODES: dict[str, str] = {
 
 
 def _case_over(col: Column, mapping: dict[str, str]) -> Column:
-    """NULL-defaulted chained CASE — one codegen'd expression, no UDF."""
-    expr = F.lit(None).cast("string")
+    """NULL-defaulted lookup in a literal map — one codegen'd expression, no
+    UDF.  A chained CASE here would repeat the (possibly large) key
+    expression once per mapping entry; with ~120 extensions plus the
+    modeline/shebang regexps that blew past janino's 64 KB generated-method
+    limit and dropped the whole projection to interpreted mode.
+    ``try_element_at(map<k,v>, key)`` evaluates the key expression ONCE and
+    returns NULL for misses under any ANSI setting — same semantics, O(1)
+    tree growth per entry."""
+    pairs: list[Column] = []
     for k, lang in mapping.items():
-        expr = F.when(col == k, F.lit(lang)).otherwise(expr)
-    return expr
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(lang))
+    return F.try_element_at(F.create_map(*pairs), col)
 
 
 def _filename_lang(lower: Column) -> Column:
@@ -156,16 +170,112 @@ def prog_language_col(file_name: Column) -> Column:
     )
 
 
-def prog_language_content_col(file_name: Column, content: Column) -> Column:
+# ---------------------------------------------------------------------------
+# Content classifier — enry's trailing naive-Bayes stage (classifier.go),
+# hand-rolled: weighted keyword evidence per language over word tokens plus
+# a few distinctive multi-char markers.  Weights are log-odds-flavored
+# integers: 3 = essentially unique to the language, 2 = strongly
+# indicative, 1 = shared but supporting.  All keyword sets are public
+# language syntax.
+# ---------------------------------------------------------------------------
+_KEYWORD_WEIGHTS: dict[str, dict[str, int]] = {
+    "Python": {"elif": 3, "def": 2, "self": 2, "import": 1, "lambda": 2,
+               "None": 3, "True": 1, "False": 1, "print": 1, "__init__": 3,
+               "pass": 2, "yield": 2, "except": 3},
+    "Ruby": {"puts": 3, "def": 2, "end": 2, "module": 1, "require": 2,
+             "nil": 3, "attr_accessor": 3, "elsif": 3, "unless": 2},
+    "JavaScript": {"function": 2, "const": 2, "var": 2, "let": 2,
+                   "console": 3, "typeof": 2, "undefined": 3, "null": 1},
+    "Go": {"func": 3, "package": 2, "fmt": 3, "defer": 3, "goroutine": 3,
+           "chan": 3, "nil": 1, "struct": 1, "interface": 1},
+    "C": {"printf": 3, "sizeof": 2, "malloc": 3, "void": 2, "char": 2,
+          "struct": 1, "include": 2, "stdio": 3},
+    "C++": {"std": 3, "cout": 3, "namespace": 3, "template": 2,
+            "nullptr": 3, "virtual": 2, "include": 2, "iostream": 3},
+    "Java": {"public": 2, "static": 2, "void": 1, "class": 1, "System": 3,
+             "extends": 2, "implements": 3, "final": 1, "println": 2},
+    "Shell": {"echo": 2, "fi": 3, "esac": 3, "done": 2, "then": 2,
+              "local": 1, "export": 2, "grep": 2, "getopts": 3},
+    "Perl": {"my": 3, "use": 1, "strict": 2, "sub": 2, "qw": 3,
+             "foreach": 2, "warnings": 2},
+    "PHP": {"php": 3, "echo": 1, "foreach": 1, "array": 2, "public": 1,
+            "function": 1},
+    "Rust": {"fn": 3, "mut": 3, "impl": 3, "pub": 2, "println": 2,
+             "match": 1, "trait": 3, "crate": 3},
+    "Lua": {"local": 2, "function": 1, "end": 2, "nil": 1, "elseif": 2,
+            "ipairs": 3, "pairs": 2, "repeat": 2},
+    "R": {"library": 3, "NULL": 2, "NA": 2, "TRUE": 1, "FALSE": 1,
+          "vector": 1, "data": 1, "frame": 1},
+    "SQL": {"SELECT": 3, "FROM": 2, "WHERE": 2, "INSERT": 2, "TABLE": 2,
+            "JOIN": 2, "GROUP": 1, "ORDER": 1},
+    "Haskell": {"where": 2, "data": 1, "instance": 3, "deriving": 3,
+                "monad": 3, "import": 1, "qualified": 3},
+    "Tcl": {"proc": 3, "set": 1, "expr": 2, "incr": 3, "upvar": 3},
+}
+
+# distinctive multi-char markers the word tokenizer can't see
+_MARKER_WEIGHTS: list[tuple[re.Pattern, str, int]] = [
+    (re.compile(r"<\?php"), "PHP", 6),
+    (re.compile(r"<\?xml"), "XML", 6),
+    (re.compile(r"<!DOCTYPE\s+html|<html[\s>]", re.IGNORECASE), "HTML", 6),
+    (re.compile(r"#include\s*<"), "C", 3),
+    (re.compile(r"std::"), "C++", 4),
+    (re.compile(r":="), "Go", 2),
+    (re.compile(r"<-"), "R", 2),
+    (re.compile(r"\$[A-Za-z_{]"), "Shell", 1),
+    (re.compile(r"->\s*\w+\s*\("), "PHP", 2),
+    (re.compile(r"=>"), "JavaScript", 1),
+    (re.compile(r"println!"), "Rust", 4),
+    (re.compile(r"^\s*\{\s*\"", re.MULTILINE), "JSON", 4),
+    (re.compile(r"^#{1,6}\s+\w|^```", re.MULTILINE), "Markdown", 3),
+    (re.compile(r"^[A-Za-z0-9_.-]+:\s+\S", re.MULTILINE), "YAML", 1),
+]
+
+_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_CLASSIFY_MIN_SCORE = 4  # below this, evidence is noise → "Text"
+
+
+def classify_content(text: str | None) -> str | None:
+    """Token-evidence language classification for content no earlier stage
+    resolved.  Deterministic: ties break by language name.  Returns None
+    (caller falls through to "Text") when total evidence is weak."""
+    if not text:
+        return None
+    head = text[:2048]
+    scores: dict[str, int] = {}
+    for tok in _WORD_RE.findall(head):
+        for lang, kw in _KEYWORD_WEIGHTS.items():
+            w = kw.get(tok)
+            if w:
+                scores[lang] = scores.get(lang, 0) + w
+    for pat, lang, w in _MARKER_WEIGHTS:
+        n = len(pat.findall(head))
+        if n:
+            scores[lang] = scores.get(lang, 0) + w * min(n, 3)
+    if not scores:
+        return None
+    best_lang, best = min(
+        ((lang, s) for lang, s in scores.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return best_lang if best >= _CLASSIFY_MIN_SCORE else None
+
+
+def prog_language_content_col(
+    file_name: Column, content: Column, with_classifier: bool = True
+) -> Column:
     """enry's content-aware detection (indexer/blob.go:116-127:
-    enry.GetLanguage(filename, data)) — still ONE pure-JVM expression.
+    enry.GetLanguage(filename, data)).
 
     Strategy order is linguist/enry's: modeline → filename → shebang →
-    extension → "Text".  An extensionless ``deploy`` script starting
-    ``#!/usr/bin/env python3`` classifies as Python instead of falling to
-    "Text" (the r3 gap).  The trailing content stage (naive-Bayes
-    classifier over tokens) is NOT implemented — documented divergence;
-    its fallback "Text" is the same default.
+    extension → content classifier → "Text".  An extensionless ``deploy``
+    script starting ``#!/usr/bin/env python3`` classifies as Python via the
+    shebang stage; an extensionless, shebang-less one is classified by
+    keyword evidence (``classify_content``, the enry classifier.go analog).
+    Every stage but the classifier is pure JVM; the classifier is an Arrow
+    pandas UDF that receives ONLY the rows all JVM stages left NULL
+    (null-gated ``when`` input), so on corpora where names/shebangs resolve
+    everything, no row crosses Arrow at all.
     """
     lower = F.lower(file_name)
     head = F.substring(content, 1, 512)
@@ -194,10 +304,17 @@ def prog_language_content_col(file_name: Column, content: Column) -> Column:
         _case_over(emacs, _MODELINE_MODES), _case_over(vim, _MODELINE_MODES)
     )
 
-    return F.coalesce(
+    jvm_stages = F.coalesce(
         modeline_lang,
         _filename_lang(lower),
         shebang_lang,
         _extension_lang(lower),
-        F.lit(DEFAULT_LANGUAGE),
     )
+    if not with_classifier:
+        return F.coalesce(jvm_stages, F.lit(DEFAULT_LANGUAGE))
+    from .udfs import classify_prog_lang_udf
+
+    gated = classify_prog_lang_udf(
+        F.when(jvm_stages.isNull(), F.substring(content, 1, 2048))
+    )
+    return F.coalesce(jvm_stages, gated, F.lit(DEFAULT_LANGUAGE))

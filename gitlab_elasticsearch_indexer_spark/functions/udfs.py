@@ -36,6 +36,16 @@ def detect_lang_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: detect_language(t)[0] if t else None)
 
 
+@F.pandas_udf(T.StringType())
+def classify_prog_lang_udf(heads: pd.Series) -> pd.Series:
+    """enry content-classifier stage (functions/proglang.classify_content).
+    Callers null-gate JVM-side so only rows no earlier strategy resolved
+    cross Arrow; NULL in → NULL out (the coalesce falls through to 'Text')."""
+    from .proglang import classify_content
+
+    return heads.map(classify_content, na_action="ignore")
+
+
 def make_offsets_tokenizer_udf(analyzer: str):
     """Offset-aware tokenizer: ArrayType(Struct(term, start, end)) pandas
     UDF for chains supporting index_options=offsets (simple, default).

@@ -49,8 +49,10 @@ def build_docs(
     ship nothing extra across Arrow.
 
     ``with_prog_lang=True`` adds the reference blob's ``Language`` field —
-    enry filename/extension detection (blob.go:116-127, default "Text") as
-    one pure-JVM CASE expression over ``file_name`` (functions/proglang.py).
+    the full enry strategy chain (blob.go:116-127, default "Text"):
+    modeline/filename/shebang/extension as pure-JVM CASE expressions, plus
+    the token-evidence content classifier as a null-gated Arrow stage that
+    only unresolved rows reach (functions/proglang.py).
     """
     pid = F.lit(project_id).cast("long")
     too_large = (F.octet_length(F.col("html")) > F.lit(limit_file_size)).alias(

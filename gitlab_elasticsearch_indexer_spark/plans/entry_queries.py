@@ -126,13 +126,15 @@ def _index_for(
     with_positions: bool = False,
     analyzer: str = "simple",
     source: str = "base",
+    with_offsets: bool = False,
 ) -> str:
-    key = (os.path.abspath(sf_dir), with_positions, analyzer, source)
+    key = (os.path.abspath(sf_dir), with_positions, analyzer, source, with_offsets)
     if key in _built:
         return _built[key]
     tag = (
         os.path.abspath(sf_dir).strip("/").replace("/", "_")
         + ("_pos" if with_positions else "")
+        + ("_off" if with_offsets else "")
         + ("" if analyzer == "simple" else f"_{analyzer}")
         + ("" if source == "base" else f"_{source}")
     )
@@ -156,7 +158,8 @@ def _index_for(
             pages = pages_from_documents(spark, sf_dir)
         build_index(
             spark, pages, index_dir, analyzer=analyzer,
-            with_positions=with_positions, snapshot="s1",
+            with_positions=with_positions, with_offsets=with_offsets,
+            snapshot="s1",
         )
     _built[key] = index_dir
     return index_dir
@@ -168,8 +171,12 @@ def _searcher(
     with_positions: bool = False,
     analyzer: str = "simple",
     source: str = "base",
+    with_offsets: bool = False,
 ) -> Searcher:
-    return Searcher(spark, _index_for(spark, sf_dir, with_positions, analyzer, source))
+    return Searcher(
+        spark,
+        _index_for(spark, sf_dir, with_positions, analyzer, source, with_offsets),
+    )
 
 
 def _topk_entry(query: str, k: int, mode: str, doc_filter_expr: str | None = None):
@@ -2282,6 +2289,52 @@ SELECT docid, round(raw, 4) AS score
 FROM scored
 ORDER BY round(raw, 4) DESC, docid ASC
 LIMIT 10
+""",
+)
+
+
+# --- ft_highlight: highlighting from the stored offsets payload.  The
+# reference maps project text fields with index_options=offsets precisely so
+# ES can highlight without re-analyzing documents (elastic/index.go:208-218,
+# 328-331); this entry hash-checks the whole offsets pipeline — flat
+# occurrence emitter → offsets codec → pruned segment scan → block decode →
+# JVM substring snippets.  The oracle recomputes every occurrence span of
+# the term from first principles: the base corpus is single-space-separated
+# [a-z]+ words, so token start offsets are a running sum of token lengths
+# plus one space per preceding token.
+def _ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir, with_offsets=True)
+    return s.highlight("spark", window=30).filter(F.col("docid") < 200)
+
+
+register(
+    "ft_highlight",
+    _ft_highlight,
+    """
+WITH toks AS (
+  SELECT doc_id, text,
+         unnest(string_split(text, ' ')) AS tok,
+         CAST(unnest(generate_series(1, len(string_split(text, ' ')))) AS INT) AS i
+  FROM documents WHERE doc_id < 200
+),
+pos AS (
+  SELECT doc_id, text, tok, i,
+         CAST(coalesce(sum(length(tok)) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + (i - 1) AS INT) AS start
+  FROM toks
+),
+occ AS (
+  SELECT CAST(doc_id AS BIGINT) AS docid, text, start,
+         CAST(start + length(tok) AS INT) AS "end"
+  FROM pos WHERE tok = 'spark'
+)
+SELECT docid, start, "end",
+       substr(text, greatest(0, start - 30) + 1, start - greatest(0, start - 30))
+       || '«' || substr(text, start + 1, "end" - start) || '»'
+       || substr(text, "end" + 1, 30) AS snippet
+FROM occ
 """,
 )
 

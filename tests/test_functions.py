@@ -725,6 +725,8 @@ class TestProgLanguage:
         assert row["lang"] == want
 
     def test_content_heuristics_pure_jvm(self, spark):
+        """with_classifier=False keeps the whole chain a single codegen'd
+        CASE — the contract for callers that want zero Python stages."""
         from pyspark.sql.functions import col
 
         from gitlab_elasticsearch_indexer_spark.functions.proglang import (
@@ -734,10 +736,58 @@ class TestProgLanguage:
         df = spark.createDataFrame(
             [("a", "#!/bin/sh\n")], "file_name string, content string"
         ).select(
-            prog_language_content_col(col("file_name"), col("content")).alias("l")
+            prog_language_content_col(
+                col("file_name"), col("content"), with_classifier=False
+            ).alias("l")
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    @pytest.mark.parametrize(
+        "content,want",
+        [
+            # extensionless, shebang-less, modeline-less scripts — the rows
+            # only enry's trailing token classifier can resolve
+            # (classifier.go; indexer/blob.go:116-127)
+            ("def main():\n    x = None\n    if x:\n        pass\n    "
+             "elif y:\n        yield x\n", "Python"),
+            ("if [ -f x ]; then\n  echo hi\nfi\ncase $1 in *) ;; esac\n", "Shell"),
+            ("package main\n\nfunc main() {\n\tx := 1\n\tfmt.Println(x)\n}\n", "Go"),
+            ("SELECT a FROM t WHERE b = 1 ORDER BY a", "SQL"),
+            ("pub fn main() { let mut x = 1; println!(\"{}\", x); }", "Rust"),
+            ('#include <stdio.h>\nint main(void){printf("hi");}', "C"),
+            ("#include <iostream>\nint main(){ std::cout << 1; }", "C++"),
+            ("def foo\n  puts 1\nend\n", "Ruby"),
+            ('{\n  "name": "x",\n  "version": "1.0"\n}', "JSON"),
+            ("<?php echo $x; ?>", "PHP"),
+            # weak/no evidence → defaultLanguage
+            ("just some prose about nothing\n", "Text"),
+            ("", "Text"),
+        ],
+    )
+    def test_content_classifier_stage(self, spark, content, want):
+        from pyspark.sql.functions import col
+
+        from gitlab_elasticsearch_indexer_spark.functions.proglang import (
+            classify_content,
+            prog_language_content_col,
+        )
+
+        # pure function golden
+        assert (classify_content(content) or "Text") == want
+        # end-to-end through the gated Arrow stage (extensionless name)
+        row = (
+            spark.createDataFrame(
+                [("script", content)], "file_name string, content string"
+            )
+            .select(
+                prog_language_content_col(
+                    col("file_name"), col("content")
+                ).alias("lang")
+            )
+            .head()
+        )
+        assert row["lang"] == want
 
 
 class TestXxhash64Parity:
