@@ -403,6 +403,14 @@ ORDER BY docid
 #   ann_centroids     — kmeans centroid shape; ann_ivf_topk covers the path
 #   events_windowed / events_sessionize — batch twins of the driver-green
 #                       stream_windowed / stream_sessionize entries
+#   dedup_minhash_sig — signature table; dedup_lsh_pairs/_verified consume
+#                       the same signatures end-to-end
+#   dedup_jaccard_pairs — exact-Jaccard kernel; dedup_lsh_verified runs the
+#                       identical kernel over the LSH candidate set
+#   path_tokens       — A3 token stream; ft_field_path_search drives the
+#                       path analyzer through a full build+search
+#   edge_ngram_tokens — A5 token stream; ft_field_code_search drives the
+#                       code chain (edge_ngram included) end-to-end
 DEMOTED = {
     "doc_dates",
     "dedup_lsh_bands",
@@ -411,6 +419,10 @@ DEMOTED = {
     "ann_centroids",
     "events_windowed",
     "events_sessionize",
+    "dedup_minhash_sig",
+    "dedup_jaccard_pairs",
+    "path_tokens",
+    "edge_ngram_tokens",
     # structurally un-oracle-able (KStem ∉ SQL): rows-only forever as a
     # driver entry, so its slot goes to ft_bm25_minimal_topk (full value
     # oracle over the stemmed path); the KStem chain keeps its independent
@@ -427,6 +439,9 @@ _ORDER = [
     "ft_bm25_topk", "ft_bm25_topk_blockmax", "ft_bm25_and",
     "ft_bm25_head_term", "ft_bm25_filtered", "ft_bm25_minimal_topk",
     "ft_match_count", "ft_term_lookup", "ft_phrase_match",
+    # round-5 driver asks: UAX#29-differentiating oracle (A1), offsets
+    # highlighting, field-scoped phrase
+    "uax29_tokens", "ft_bm25_uax29_topk", "ft_highlight", "ft_field_phrase",
     "ft_field_path_search", "ft_field_code_search",
     "routed_two_tables", "ann_ivf_topk",
     # doc pipeline + incremental
@@ -2360,5 +2375,88 @@ SELECT CAST(e.vec_id AS BIGINT) AS vec_id, {_COS_SQL} AS cosine
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+)
+
+
+# --- ft_field_phrase: positions-backed phrase over a NAMESPACED field.
+# ES text fields default to index_options=positions, so match_phrase on a
+# sub-field (per-field analyzers, elastic/index.go:115-146) is part of the
+# reference contract.  The corpus (sources/pages.py pages_phrase) plants
+# "data query" ADJACENT in url paths of doc_id%3==0 and NON-adjacent
+# ("data/mid/query") in doc_id%3==1: a regression that dropped field
+# positions or fell back to bag-of-words would pull the residue-1 docids
+# into the result set and fail the hash.
+_fp_cache: dict[str, str] = {}
+
+
+def _field_phrase_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    key = os.path.abspath(sf_dir)
+    if key not in _fp_cache:
+        index_dir = os.path.join(_CACHE_ROOT, "fp_" + key.strip("/").replace("/", "_"))
+        try:
+            c = cat.read_catalog(index_dir)
+            assert c.with_positions and c.fields and "url" in c.fields
+        except Exception:
+            from ..sources.pages import pages_phrase
+
+            build_index(
+                spark,
+                pages_phrase(spark, sf_dir),
+                index_dir,
+                analyzer="simple",
+                with_positions=True,
+                snapshot="s1",
+                extra_fields={"url": "simple"},
+            )
+        _fp_cache[key] = index_dir
+    return Searcher(spark, _fp_cache[key])
+
+
+def _ft_field_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _field_phrase_searcher(spark, sf_dir)
+    hits = s.phrase_search("data query", k=1_000_000, field="url")
+    return (
+        hits.select("docid", F.round("score", 4).alias("score"))
+        .filter(F.col("docid") < 120)
+        .orderBy("docid")
+    )
+
+
+from ..sources.pages import PAGES_PHRASE_URL_SQL as _PP_URL_SQL  # noqa: E402
+
+register(
+    "ft_field_phrase",
+    _ft_field_phrase,
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower({_PP_URL_SQL}), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM flat GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(len(ts) AS INT) AS dl FROM toks),
+consts AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+adj AS (
+  SELECT doc_id FROM toks
+  WHERE len(list_filter(generate_series(1, len(ts) - 1),
+                        i -> ts[i] = 'data' AND ts[i + 1] = 'query')) > 0
+),
+scored AS (
+  SELECT tf.doc_id AS docid,
+         sum( ln(1 + (consts.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / consts.avgdl)) ) AS raw
+  FROM tf JOIN dfs USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN consts
+  WHERE tf.term IN ('data', 'query') AND tf.doc_id IN (SELECT doc_id FROM adj)
+  GROUP BY tf.doc_id
+)
+SELECT CAST(docid AS BIGINT) AS docid, round(raw, 4) AS score
+FROM scored WHERE docid < 120 ORDER BY docid
 """,
 )

@@ -162,25 +162,37 @@ class Searcher:
             .orderBy(F.desc("score"), F.asc("docid"))
         )
 
-    def phrase_search(self, phrase: str, k: int = 10) -> DataFrame:
-        """Positions-based phrase query (requires with_positions index)."""
+    def phrase_search(
+        self, phrase: str, k: int = 10, field: str = "content"
+    ) -> DataFrame:
+        """Positions-based phrase query (requires with_positions index).
+
+        ``field``: phrase over an extra field's namespaced postings — the
+        ES ``match_phrase`` on a sub-field (text fields default to
+        index_options=positions, so field phrase is part of the reference
+        contract; per-field analyzers elastic/index.go:115-146).  The
+        field's analyzer produces the token sequence, its ``<field>\\x1f``
+        prefix scopes both the adjacency check and the BM25 scoring to the
+        field's own postings/dl/avgdl."""
         if not self.catalog.with_positions:
             raise ValueError("index was built without positions")
+        analyzer, prefix, avgdl, dl_col = self._field_conf(field)
         # adjacency check needs the raw token SEQUENCE (duplicates kept:
         # "data data" must match two adjacent occurrences); BM25 scoring
         # uses the deduplicated match-query term list
-        term_seq = [
-            t for t in analyze_query_seq(phrase, self.catalog.analyzer)
-        ]
-        terms = self.query_terms(phrase)
+        term_seq = [prefix + t for t in analyze_query_seq(phrase, analyzer)]
+        terms = self.query_terms(phrase, field)
         docids = phrase_filter_docids(self.segments, term_seq)
+        docs_side = self.docs
+        if dl_col != "dl":
+            docs_side = docs_side.withColumn("dl", F.col(dl_col))
         scored = search_exhaustive(
             self.segments,
             self.term_stats,
-            self.docs,
+            docs_side,
             terms,
             k=None,
-            avgdl=self.catalog.avgdl,
+            avgdl=avgdl,
         )
         return (
             scored.join(docids, "docid")

@@ -182,6 +182,50 @@ def pages_uax29(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pages_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose URL path embeds an adjacency-differentiating segment,
+    keyed by ``doc_id % 3``: ``/data/query`` (adjacent), ``/data/mid/query``
+    (both terms present, NOT adjacent), or nothing.  A field-scoped
+    match_phrase "data query" over the ``url`` field must return exactly the
+    residue-0 docs — a bag-of-words field match would wrongly include the
+    residue-1 docs, so positional adjacency on namespaced field postings is
+    load-bearing in the value hash.  Pure function of doc_id (DuckDB twin:
+    ``PAGES_PHRASE_URL_SQL``).  Reference: per-field analyzers + text-field
+    positions, elastic/index.go:115-146."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/data/query"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("/data/mid/query"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://example.com/"),
+            F.col("source"),
+            seg,
+            F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
+# DuckDB twin of pages_phrase's url derivation (shared with oracle_sql)
+PAGES_PHRASE_URL_SQL = (
+    "'https://example.com/' || source || "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '/data/query' "
+    "WHEN 1 THEN '/data/mid/query' ELSE '' END || "
+    "'/doc' || CAST(doc_id AS VARCHAR) || '.html'"
+)
+
+
 def special_pages(spark: SparkSession, base_docid: int = 10_000_000) -> DataFrame:
     """FIXTURES.md §1 special row classes, deterministic, for golden tests.
 
