@@ -38,9 +38,9 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 # contractions, space-prefixed letter/digit runs, punctuation runs, spaces.
 # A real BPE merges within these pretokens; the pretoken count is the
 # standard cheap proxy for "token budget" in training-data curation.
-BPE_SPLIT_PATTERN = (
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
-)
+# Canonical definition lives in functions/bpe.py so the JVM proxy and the
+# merged-BPE path (bpe_merge_token_counts below) split text identically.
+from ..functions.bpe import PRETOKEN_PATTERN as BPE_SPLIT_PATTERN  # noqa: E402
 
 
 def bpe_token_counts(
@@ -55,6 +55,51 @@ def bpe_token_counts(
         n.alias("bpe_tokens"),
         F.round(
             F.when(n > 0, F.length(text_col).cast("double") / n).otherwise(0.0), 4
+        ).alias("chars_per_token"),
+    )
+
+
+def bpe_merge_token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(docid, bpe_tokens, bpe_pretokens, chars_per_token) — REAL merge-loop
+    BPE against the packaged merge table (functions/bpe.py), not the pretoken
+    proxy.  Arrow-batched ``mapInPandas`` kernel; per-executor memo keyed by
+    pretoken makes the amortized per-token cost a dict lookup on Zipfian
+    webtext.  Use ``bpe_token_counts`` (pure JVM) when the proxy suffices."""
+    import pandas as pd
+
+    cols = df.select(
+        F.col(id_col).cast("long").alias("docid"), F.col(text_col).alias("_t")
+    )
+
+    def kernel(batches):
+        from ..functions import bpe
+
+        for pdf in batches:
+            texts = pdf["_t"]
+            yield pd.DataFrame(
+                {
+                    "docid": pdf["docid"],
+                    "bpe_tokens": texts.map(bpe.count_tokens).astype("int64"),
+                    "bpe_pretokens": texts.map(
+                        lambda t: len(bpe.pretokenize(t))
+                    ).astype("int64"),
+                    "n_chars": texts.str.len().astype("int64"),
+                }
+            )
+
+    out = cols.mapInPandas(
+        kernel,
+        schema="docid long, bpe_tokens long, bpe_pretokens long, n_chars long",
+    )
+    n = F.col("bpe_tokens")
+    return out.select(
+        "docid",
+        "bpe_tokens",
+        "bpe_pretokens",
+        F.round(
+            F.when(n > 0, F.col("n_chars").cast("double") / n).otherwise(0.0), 4
         ).alias("chars_per_token"),
     )
 
