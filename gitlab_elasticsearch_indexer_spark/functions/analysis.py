@@ -63,12 +63,26 @@ _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 #      from MidLetter; ES splits `foo:bar`).
 # Context classes use fixed-width lookaround so a joiner binds only when
 # BOTH neighbours are the right category (`2'a` / trailing `U.S.A.` dot
-# stay out).  Divergences (documented): Hebrew gershayim WB7a/7b/7c and
-# regional-indicator rules are not modeled.
+# stay out).
+#   4. Hebrew geresh/gershayim (WB7a-c, added r5): a Hebrew letter keeps a
+#      trailing U+0027 geresh even at token end (WB7a — a single-letter
+#      abbreviation keeps its quote), and U+0022 between two Hebrew
+#      letters joins (WB7b/7c — gershayim acronyms).  Hebrew letters are
+#      AHLetter, so Hebrew-quote-Hebrew already joined via WB6/7.
+#   5. Regional indicators (WB15/16, added r5): RI symbols pair from the
+#      left (greedy two-at-a-time), so one emoji flag is ONE token and two
+#      flags are two tokens — never a break inside a pair.  Lucene's
+#      StandardTokenizer segments these identically but then drops
+#      symbol-only tokens; we emit them (webtext-useful), documented as an
+#      extension.
+# Remaining documented residue: Hebrew presentation forms U+FB1D-FB4F
+# (compatibility codepoints, NFKD-normalized away in most pipelines).
 # ---------------------------------------------------------------------------
 _HAN = "⺀-⻿々〇〡-〩㐀-䶿一-鿿豈-﫿"
 _HIRA = "ぁ-ゖゝ-ゟ"
 _KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
+_HEB = "א-תׯ"                  # Hebrew_Letter (letters block)
+_RI = "\U0001F1E6-\U0001F1FF"                 # Regional_Indicator
 _WCH = rf"[^\W{_HAN}{_HIRA}{_KATA}]"          # word char (incl. _) minus CJK
 _LET = rf"[^\W\d_{_HAN}{_HIRA}{_KATA}]"       # letter only, minus CJK
 # MidLetter ∪ MidNumLet: apostrophe U+0027/U+2019, FULL STOP, U+00B7,
@@ -77,9 +91,15 @@ _MIDLET = "[\u0027\u2019.\u00B7\u0387\u05F4\u2027]"
 # MidNum ∪ MidNumLet: FULL STOP, COMMA, apostrophes, U+066B, U+066C
 _MIDNUM = "[.,\u0027\u2019\u066B\u066C]"
 _UAX29_RE = re.compile(
-    rf"[{_KATA}]+"
+    rf"[{_RI}]{{2}}|[{_RI}]"
+    rf"|[{_KATA}]+"
     rf"|[{_HAN}{_HIRA}]"
-    rf"|{_WCH}(?:{_WCH}|(?<={_LET}){_MIDLET}(?={_LET})|(?<=\d){_MIDNUM}(?=\d))*",
+    rf"|{_WCH}(?:{_WCH}"
+    rf"|(?<={_LET}){_MIDLET}(?={_LET})"
+    rf"|(?<=\d){_MIDNUM}(?=\d)"
+    rf'|(?<=[{_HEB}])"(?=[{_HEB}])'  # WB7b/7c gershayim
+    rf"|(?<=[{_HEB}])'"              # WB7a geresh
+    rf")*",
     re.UNICODE,
 )
 _WS_RE = re.compile(r"\S+")
@@ -310,11 +330,13 @@ def _kstem_lexicon_fingerprint() -> str:
 
 ANALYZER_VERSIONS: dict[str, str] = {
     # uax29: r4 replaced the [^\W_]+ approximation with real UAX#29 word
-    # boundaries (contractions, MidNum, ExtendNumLet, CJK) — token output
-    # changed, so both standard-tokenizer chains bumped
-    "default": f"uax29-lower-kstem-{_kstem_lexicon_fingerprint()}",
-    "minimal_english": "uax29-lower-minimal-2",
-    "standard": "uax29-lower-1",
+    # boundaries (contractions, MidNum, ExtendNumLet, CJK); r5 added WB7a-c
+    # (Hebrew geresh/gershayim) and WB15/16 (regional-indicator pairs) —
+    # token output changed again, so every standard-tokenizer chain bumped
+    # (the "b" suffix).
+    "default": f"uax29b-lower-kstem-{_kstem_lexicon_fingerprint()}",
+    "minimal_english": "uax29b-lower-minimal-3",
+    "standard": "uax29b-lower-2",
     "simple": "lower-alnum-1",
     "code": "ws-wdg-fold-edge2.40-2",  # v2: Lucene fold table beyond NFKD
     "path": "pathrev-fold-2",          # v2: Lucene fold table beyond NFKD
@@ -329,7 +351,7 @@ def refresh_analyzer_versions() -> None:
     output differs (exactly the mismatch it exists to catch).  load_lexicon
     calls this; anything else that mutates analyzer behavior at runtime
     must too."""
-    ANALYZER_VERSIONS["default"] = f"uax29-lower-kstem-{_kstem_lexicon_fingerprint()}"
+    ANALYZER_VERSIONS["default"] = f"uax29b-lower-kstem-{_kstem_lexicon_fingerprint()}"
 
 
 def tokenize_series(texts: pd.Series, analyzer: str = "default") -> pd.Series:

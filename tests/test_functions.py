@@ -185,6 +185,26 @@ class TestAnalyzers:
             # CJK: Han/Hiragana one token per char, Katakana runs together
             "日本語のテキスト": ["日", "本", "語", "の", "テキスト"],
             "カタカナとrust": ["カタカナ", "と", "rust"],
+            # WB7b/7c (r5): gershayim — double quote joins Hebrew letters
+            'צה"ל': ['צה"ל'],
+            'שב"כ agents': ['שב"כ', "agent"],
+            # WB7a (r5): trailing geresh kept on a Hebrew letter
+            "צ' בשעה": ["צ'", "בשעה"],
+            # ...but double quote/WB7a do NOT apply to non-Hebrew letters
+            'a"b': ["a", "b"],
+            "boys' toys": ["boy", "toy"],
+            # WB15/16 (r5): regional indicators pair from the left — one
+            # flag is one token, sequences split per pair, odd RI stands
+            "\U0001F1EB\U0001F1F7": ["\U0001F1EB\U0001F1F7"],
+            "\U0001F1EB\U0001F1F7\U0001F1E9\U0001F1EA": [
+                "\U0001F1EB\U0001F1F7", "\U0001F1E9\U0001F1EA",
+            ],
+            "\U0001F1EB\U0001F1F7\U0001F1E9": [
+                "\U0001F1EB\U0001F1F7", "\U0001F1E9",
+            ],
+            "hi \U0001F1EB\U0001F1F7 there": [
+                "hi", "\U0001F1EB\U0001F1F7", "there",
+            ],
         }
         for text, want in cases.items():
             assert analysis.analyze_minimal(text) == want, text
