@@ -81,7 +81,7 @@ _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 _HAN = "⺀-⻿々〇〡-〩㐀-䶿一-鿿豈-﫿"
 _HIRA = "ぁ-ゖゝ-ゟ"
 _KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
-_HEB = "א-תׯ"                  # Hebrew_Letter (letters block)
+_HEB = "א-תׯװ-ײ"            # Hebrew_Letter: letters + Yiddish ligatures
 _RI = "\U0001F1E6-\U0001F1FF"                 # Regional_Indicator
 _WCH = rf"[^\W{_HAN}{_HIRA}{_KATA}]"          # word char (incl. _) minus CJK
 _LET = rf"[^\W\d_{_HAN}{_HIRA}{_KATA}]"       # letter only, minus CJK

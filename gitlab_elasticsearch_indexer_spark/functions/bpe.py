@@ -106,24 +106,71 @@ def train_merges(texts: Iterable[str], n_merges: int) -> list[tuple[str, str]]:
 # ---------------------------------------------------------------------------
 # Merge table: packaged data, GPT-2 merges.txt format
 # ---------------------------------------------------------------------------
+# Learned symbols can contain ANY pretoken character — tabs/newlines (from
+# whitespace-run pretokens) and a leading '#' (from punctuation runs) would
+# corrupt a line-oriented tab-separated file, so symbols are escaped on
+# write and unescaped on parse.  The committed table needs no escapes (its
+# corpus is [a-z ] text + a word list), so the format stays byte-compatible
+# with what a published GPT-2 merges.txt (symbols never contain raw
+# tab/newline) parses as.
+_ESC = {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+_UNESC = {"\\\\": "\\", "\\t": "\t", "\\n": "\n", "\\r": "\r", "\\#": "#"}
+
+
+def _escape(sym: str) -> str:
+    for raw, esc in _ESC.items():
+        sym = sym.replace(raw, esc)
+    return sym
+
+
+def _unescape(sym: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        two = sym[i : i + 2]
+        if two in _UNESC:
+            out.append(_UNESC[two])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return "".join(out)
+
+
 def _parse_merges(text: str) -> dict[tuple[str, str], int]:
     ranks: dict[tuple[str, str], int] = {}
     for line in text.splitlines():
         if not line or line.startswith("#"):
             continue
-        # GPT-2 format: two space-separated symbols per line.  A learned
-        # symbol may itself contain a space (pretokens carry their leading
-        # space), so split on the LAST space boundary that yields two
-        # non-empty halves is ambiguous — the trainer therefore writes
-        # tab-separated pairs; plain-space files (published GPT-2 tables,
-        # whose symbols use Ġ for space) still parse via the fallback.
+        # tab-separated escaped pairs (the trainer's format: symbols may
+        # contain spaces since pretokens carry their leading space);
+        # plain-space files (published GPT-2 tables, whose symbols use Ġ
+        # for space and never raw tab/newline) parse via the fallback.
         if "\t" in line:
             a, _, b = line.partition("\t")
         else:
             a, _, b = line.partition(" ")
+        a, b = _unescape(a), _unescape(b)
         if a and b:
             ranks[(a, b)] = len(ranks)
     return ranks
+
+
+def dump_lines(ranks: dict[tuple[str, str], int] | None = None) -> list[str]:
+    """Active (or given) merge table as escaped tab-separated lines, in rank
+    order — the exact lines ``load_merges`` reconstructs the same table
+    from (used by the writer script and to ship the driver's table into
+    Spark executor kernels)."""
+    if ranks is None:
+        ranks = _RANKS
+    items = sorted(ranks.items(), key=lambda kv: kv[1])
+    out = []
+    for (a, b), _ in items:
+        line = f"{_escape(a)}\t{_escape(b)}"
+        if line.startswith("#"):
+            line = "\\" + line
+        out.append(line)
+    return out
 
 
 def _load_packaged_merges() -> dict[tuple[str, str], int]:
@@ -140,8 +187,7 @@ _CACHE_CAP = 1 << 20  # bound executor memory; Zipf vocab rarely nears this
 
 def merges_fingerprint() -> str:
     """Content hash of the active merge table (lineage / repro evidence)."""
-    items = sorted(_RANKS.items(), key=lambda kv: kv[1])
-    blob = "\n".join(f"{a}\t{b}" for (a, b), _ in items).encode()
+    blob = "\n".join(dump_lines()).encode()
     return hashlib.sha256(blob).hexdigest()[:16]
 
 

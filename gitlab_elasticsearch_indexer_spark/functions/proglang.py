@@ -233,21 +233,39 @@ _MARKER_WEIGHTS: list[tuple[re.Pattern, str, int]] = [
 
 _WORD_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 _CLASSIFY_MIN_SCORE = 4  # below this, evidence is noise → "Text"
+# code-shape gate: programming-language KEYWORDS also occur in English
+# prose ("my use of strict words in my sub" scores 8 for Perl), but code
+# differs from prose in shape — punctuation (; {} = $ …) and statement
+# keywords at line starts (def/end/SELECT/...).  Keyword evidence only
+# counts when codechars + line-start-keyword-lines >= 2, which admits
+# minimal-punctuation code (`def foo\n  puts 1\nend` = 2 keyword lines;
+# one-line SQL with `=` = 1+1) while prose sentences score 0-1.  Multi-char
+# MARKERS (e.g. "<?php", "std::") are code-shaped by construction and
+# always count.
+_CODE_CHARS = set(";{}=<>$@%&|\\*()[]")
+_ALL_KEYWORDS: set[str] = set()
+for _kw in _KEYWORD_WEIGHTS.values():
+    _ALL_KEYWORDS.update(_kw)
+_LINE_START_RE = re.compile(r"^[ \t]*([A-Za-z_][A-Za-z0-9_]*)", re.MULTILINE)
 
 
 def classify_content(text: str | None) -> str | None:
     """Token-evidence language classification for content no earlier stage
     resolved.  Deterministic: ties break by language name.  Returns None
-    (caller falls through to "Text") when total evidence is weak."""
+    (caller falls through to "Text") when total evidence is weak or the
+    content has no code shape (prose guard)."""
     if not text:
         return None
     head = text[:2048]
     scores: dict[str, int] = {}
-    for tok in _WORD_RE.findall(head):
-        for lang, kw in _KEYWORD_WEIGHTS.items():
-            w = kw.get(tok)
-            if w:
-                scores[lang] = scores.get(lang, 0) + w
+    code_chars = sum(c in _CODE_CHARS for c in head)
+    kw_lines = sum(1 for m in _LINE_START_RE.finditer(head) if m.group(1) in _ALL_KEYWORDS)
+    if code_chars + kw_lines >= 2:
+        for tok in _WORD_RE.findall(head):
+            for lang, kw in _KEYWORD_WEIGHTS.items():
+                w = kw.get(tok)
+                if w:
+                    scores[lang] = scores.get(lang, 0) + w
     for pat, lang, w in _MARKER_WEIGHTS:
         n = len(pat.findall(head))
         if n:

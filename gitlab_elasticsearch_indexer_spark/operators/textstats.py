@@ -73,11 +73,23 @@ def bpe_merge_token_counts(
         F.col(id_col).cast("long").alias("docid"), F.col(text_col).alias("_t")
     )
 
+    # capture the DRIVER's active merge table: executor workers re-import
+    # functions/bpe, whose module init loads the PACKAGED table — without
+    # this, a driver-side load_merges() (the documented swap-in-a-published-
+    # table hook) would silently not reach the Spark path
+    from ..functions import bpe as _bpe
+
+    merge_lines = _bpe.dump_lines()
+    fingerprint = _bpe.merges_fingerprint()
+
     def kernel(batches):
         from ..functions import bpe
 
+        if bpe.merges_fingerprint() != fingerprint:
+            bpe.load_merges(merge_lines)
         for pdf in batches:
-            texts = pdf["_t"]
+            texts = pdf["_t"].fillna("")  # NULL text counts as 0 tokens,
+            # matching the JVM proxy's null tolerance
             yield pd.DataFrame(
                 {
                     "docid": pdf["docid"],

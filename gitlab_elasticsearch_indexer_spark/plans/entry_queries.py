@@ -24,6 +24,7 @@ scoring path, storage codec included.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -141,8 +142,26 @@ def _index_for(
     index_dir = os.path.join(_CACHE_ROOT, tag)
     need_build = True
     try:
-        cat.read_catalog(index_dir)
-        need_build = False  # left by a previous process run; snapshots are immutable
+        # left by a previous process run; snapshots are immutable — but only
+        # reusable if every analyzed chain's version still matches current
+        # code (an analyzer change, e.g. r5's uax29->uax29b, would otherwise
+        # poison the cache: Searcher refuses version-mismatched indexes, so
+        # a stale hit turns every entry into a hard error instead of a
+        # rebuild)
+        from ..functions.analysis import ANALYZER_VERSIONS
+
+        _c = cat.read_catalog(index_dir)
+        _checks = [(_c.analyzer, getattr(_c, "analyzer_version", None))]
+        for _fld, _meta in (_c.fields or {}).items():
+            _checks.append((_meta["analyzer"], _meta.get("analyzer_version")))
+        need_build = any(
+            stored is not None
+            and ANALYZER_VERSIONS.get(an) is not None
+            and stored != ANALYZER_VERSIONS[an]
+            for an, stored in _checks
+        )
+        if need_build:
+            shutil.rmtree(index_dir, ignore_errors=True)
     except Exception:
         need_build = True
     if need_build:

@@ -40,12 +40,14 @@ def main() -> None:
     with open(OUT, "w") as f:
         f.write(
             "# BPE merge table, GPT-2 merges.txt layout (rank = line order),\n"
-            "# tab-separated pairs (learned symbols may contain spaces).\n"
+            "# tab-separated escaped pairs (learned symbols may contain\n"
+            "# spaces; tab/newline/backslash and a leading '#' are escaped).\n"
             f"# Trained by scripts/train_bpe_merges.py on {sf_dir} documents\n"
             f"# (deterministic driver seed), n_merges={n_merges}.\n"
         )
-        for a, b in merges:
-            f.write(f"{a}\t{b}\n")
+        ranks = {p: i for i, p in enumerate(merges)}
+        for line in bpe.dump_lines(ranks):
+            f.write(line + "\n")
     print(f"wrote {len(merges)} merges to {OUT}")
 
 

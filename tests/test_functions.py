@@ -783,6 +783,15 @@ class TestProgLanguage:
             # weak/no evidence → defaultLanguage
             ("just some prose about nothing\n", "Text"),
             ("", "Text"),
+            # keyword-heavy ENGLISH PROSE must not classify: the code-shape
+            # gate requires code punctuation before keyword evidence counts
+            ("my use of strict words in my sub", "Text"),
+            ("The data frame library has a vector of NA values", "Text"),
+            ("SELECT committee FROM the GROUP", "Text"),
+            ("use of the end repeat function in local dance pairs", "Text"),
+            # ...while the same keywords in code shape still classify
+            ("my $x = shift; use strict; sub foo { return $x; }", "Perl"),
+            ("SELECT a, b FROM t WHERE x = 1 GROUP BY a;", "SQL"),
         ],
     )
     def test_content_classifier_stage(self, spark, content, want):

@@ -62,12 +62,17 @@ def _mem_work(args) -> float:
 
 
 def _run(fn, n_workers: int, per_worker_arg: int) -> float:
-    """Wall time of n_workers processes each running fn on its own pinned CPU."""
+    """Slowest worker's SELF-MEASURED duration across n_workers pinned
+    processes.  The workers time only their measured loop, so process
+    spawn, numpy import and the 200 MB RNG array generation stay out of
+    the number (pool wall-clock included them — ~0.3-0.6 s, comparable to
+    the mem measurement itself, skewing mem_gbps_1w up to ~2× low).
+    Sessions logged before 2026-08-18T23:00 used the wall-clock variant;
+    their controls are phase INDICATORS (pre/post within one session,
+    same method both ends), so the comparison they support is unchanged."""
     ctx = mp.get_context("spawn")
     with ctx.Pool(n_workers) as pool:
-        t0 = time.time()
-        pool.map(fn, [(i, per_worker_arg) for i in range(n_workers)])
-        return time.time() - t0
+        return max(pool.map(fn, [(i, per_worker_arg) for i in range(n_workers)]))
 
 
 def main() -> None:
