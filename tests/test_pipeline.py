@@ -1438,3 +1438,32 @@ class TestBpeMergedOperator:
         p = bpe_token_counts(rare).toPandas().iloc[0]
         assert m["bpe_pretokens"] == p["bpe_tokens"] == 3
         assert m["bpe_tokens"] > m["bpe_pretokens"]
+
+    def test_driver_load_merges_reaches_executors(self, spark):
+        """A driver-side load_merges() must govern the Spark kernel: executor
+        workers import functions/bpe fresh (packaged table), so the operator
+        ships the driver's active table into the kernel, fingerprint-gated."""
+        from gitlab_elasticsearch_indexer_spark.functions import bpe
+        from gitlab_elasticsearch_indexer_spark.operators.textstats import (
+            bpe_merge_token_counts,
+        )
+
+        df = spark.createDataFrame([(1, "abcabc abcabc")], "doc_id long, text string")
+        base = bpe_merge_token_counts(df).toPandas().iloc[0]
+        try:
+            # a table that fully merges the pretoken " abcabc" (and "abcabc")
+            bpe.load_merges(
+                ["a\tb", "ab\tc", "abc\tabc", " \tabcabc"]
+            )
+            custom = bpe_merge_token_counts(df).toPandas().iloc[0]
+        finally:
+            bpe._RANKS = bpe._load_packaged_merges()
+            bpe._cache.clear()
+        assert custom["bpe_pretokens"] == base["bpe_pretokens"] == 2
+        # packaged table segments "abcabc" partially (driver-side reference)
+        assert base["bpe_tokens"] == bpe.count_tokens("abcabc abcabc")
+        assert base["bpe_tokens"] > 2
+        # custom table merges both pretokens to one token each
+        assert custom["bpe_tokens"] == 2
+        restored = bpe_merge_token_counts(df).toPandas().iloc[0]
+        assert restored["bpe_tokens"] == base["bpe_tokens"]
